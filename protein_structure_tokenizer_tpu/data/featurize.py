@@ -1,0 +1,287 @@
+"""Host-side graph featurization: backbone frames, k-NN graph, padding.
+
+Feature/numeric parity with the reference preprocessing hot path
+(/root/reference/structure_tokenizer/data/preprocessing.py:29-311 and
+structure_tokenizer/utils/protein_utils.py:257-438): float64 host math,
+scipy cdist + argsort neighbor selection, 15 RBF distance features + 12
+frame-projected geometry features per edge, and identical pad layouts
+(canonical receivers repeat(arange(N), K) for proteins with >= K residues).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import scipy.spatial as spa
+
+from protein_structure_tokenizer_tpu.data import constants, frames_np
+from protein_structure_tokenizer_tpu.data.sample import ProteinSample
+
+RBF_LENGTH_SCALES = [1.5**x for x in range(15)]
+
+
+@dataclasses.dataclass(frozen=True)
+class FeaturizeConfig:
+    num_neighbor: int = 50
+    downsampling_ratio: int = 1
+    residue_loc_is_alphac: bool = True
+    padding_num_residue: int = 512
+    crop_index: int = 512
+    noise_level: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphFeatures:
+    """Single-sample (unbatched) padded graph, numpy host arrays."""
+
+    n_node: np.ndarray  # (1,)
+    n_edge: np.ndarray  # (1,)
+    nodes_mask: np.ndarray  # (N, 1)
+    tokens_mask: np.ndarray  # (T, 1)
+    nodes_original_coordinates: np.ndarray  # (N, 3)
+    node_features: np.ndarray  # (N, 3)
+    edge_features: np.ndarray  # (E, 27)
+    senders: np.ndarray  # (E,)
+    receivers: np.ndarray  # (E,)
+    canonical_receivers: bool = True
+
+
+def filter_out_sample(
+    sample: ProteinSample, min_number_valid_residues: int, max_number_residues: int
+) -> bool:
+    missing = sample.get_missing_backbone_coords_mask()
+    num_known = int(np.sum(~missing))
+    return bool(
+        num_known < min_number_valid_residues or sample.nb_residues > max_number_residues
+    )
+
+
+def rbf_distance_features(dist: np.ndarray) -> np.ndarray:
+    """(E,) distances -> (E, 15) RBF features with length scales 1.5^0..1.5^14."""
+    feats = [np.exp(-(dist**2) / float(ls)) for ls in RBF_LENGTH_SCALES]
+    return np.stack(feats, axis=-1).astype(np.float32)
+
+
+def compute_knn_graph(
+    num_residues: int,
+    atom_centroids: np.ndarray,  # (N, 3) mean of existing atoms per residue
+    residue_coordinates: np.ndarray,  # (N, 3) representative (CA) locations
+    frame_x: np.ndarray,  # (N, 3) residue frame axes
+    frame_y: np.ndarray,
+    frame_z: np.ndarray,
+    num_neighbor: int,
+    noise_level: float = 0.0,
+) -> Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]:
+    """k-NN graph over atom-centroid distances with 27-dim edge features.
+
+    Edge features = 15 RBF(d) ++ 12 receiver-frame projections of
+    (sender displacement, sender frame axes).  Returns
+    (n_edge, edges (E,27) float64, senders, receivers).
+    """
+    if num_residues <= num_neighbor:
+        num_neighbor = num_residues
+
+    pts = atom_centroids
+    if noise_level > 0:
+        pts = pts + np.random.normal(0, noise_level)
+    dist = spa.distance.cdist(pts, pts)
+
+    if num_neighbor == num_residues:
+        src = np.argsort(dist, axis=-1)  # fully connected incl. self
+    else:
+        src = np.argsort(dist, axis=-1)[:, 1 : num_neighbor + 1]
+    dst = np.repeat(np.arange(num_residues)[:, None], num_neighbor, axis=-1)
+
+    senders = src.flatten()
+    receivers = dst.flatten()
+    edge_dist = np.take_along_axis(dist, src, axis=-1).flatten()
+
+    rbf = rbf_distance_features(edge_dist)
+
+    # Frame-projected geometry: everything expressed in the receiver's frame.
+    basis = np.stack([frame_x, frame_y, frame_z], axis=1)  # (N, 3axes, 3)
+    diff = residue_coordinates[:, None, :] - residue_coordinates[None, :, :]
+    p_ij = np.einsum("ijk,nik->inj", basis, diff)
+    q_ij = np.einsum("ijk,nk->inj", basis, frame_x)
+    k_ij = np.einsum("ijk,nk->inj", basis, frame_y)
+    t_ij = np.einsum("ijk,nk->inj", basis, frame_z)
+    s_ij = np.concatenate([p_ij, q_ij, k_ij, t_ij], axis=-1)  # (N, N, 12)
+
+    geo = s_ij[receivers, senders]  # (E, 12)
+    edges = np.concatenate([rbf, geo], axis=1)
+
+    return num_neighbor * num_residues, edges, senders, receivers
+
+
+def preprocess_sample(
+    sample: ProteinSample, config: FeaturizeConfig, rng: Optional[np.random.RandomState] = None
+) -> Tuple[GraphFeatures, Dict[str, np.ndarray]]:
+    """Sample -> (padded graph, padded structure-module GT features)."""
+    cfg = config
+    atom37_coords = sample.atom37_positions
+    atom37_mask = sample.atom37_gt_exists & sample.atom37_atom_exists
+    missing = sample.get_missing_backbone_coords_mask()
+    num_with_coords = int(np.sum(~missing))
+
+    # Residue local frames from N/CA/C (before dropping missing residues).
+    rot, _ = frames_np.make_transform_from_reference(
+        n_xyz=sample.atom37_positions[:, constants.N_INDEX],
+        ca_xyz=sample.atom37_positions[:, constants.CA_INDEX],
+        c_xyz=sample.atom37_positions[:, constants.C_INDEX],
+    )
+    frame_x, frame_y, frame_z = rot[..., 0], rot[..., 1], rot[..., 2]
+
+    keep = ~missing
+    frame_x, frame_y, frame_z = frame_x[keep], frame_y[keep], frame_z[keep]
+    atom37_coords = atom37_coords[keep]
+    atom37_mask = atom37_mask[keep]
+    aatype = sample.aatype[keep]
+
+    # Random crop (training only; inference uses crop_index == padding size and
+    # proteins are <= 512 residues, so start is always 0).
+    if num_with_coords <= cfg.crop_index:
+        crop_start = 0
+    else:
+        crop_start = (rng or np.random).randint(0, num_with_coords - cfg.crop_index)
+    sl = slice(crop_start, crop_start + cfg.crop_index)
+    frame_x, frame_y, frame_z = frame_x[sl], frame_y[sl], frame_z[sl]
+    atom37_coords, atom37_mask, aatype = atom37_coords[sl], atom37_mask[sl], aatype[sl]
+
+    num_with_coords = min(num_with_coords, cfg.crop_index)
+
+    if cfg.residue_loc_is_alphac:
+        residue_loc = atom37_coords[:, constants.CA_INDEX]
+    else:
+        residue_loc = np.stack(
+            [
+                np.mean(atom37_coords[i][atom37_mask[i].astype(bool)], axis=0)
+                for i in range(num_with_coords)
+            ]
+        )
+        raise NotImplementedError(
+            "centroid residue locations (+Kabsch alignment) are not used by any "
+            "released config; see reference preprocessing.py:151-164"
+        )
+
+    atom_centroids = np.stack(
+        [
+            np.mean(atom37_coords[i][atom37_mask[i].astype(bool)], axis=0)
+            for i in range(num_with_coords)
+        ]
+    )
+
+    n_node = num_with_coords
+    n_neighbor = n_node if cfg.num_neighbor == -1 else cfg.num_neighbor
+    n_edge, edges, senders, receivers = compute_knn_graph(
+        n_node,
+        atom_centroids,
+        residue_loc,
+        frame_x,
+        frame_y,
+        frame_z,
+        n_neighbor,
+        cfg.noise_level,
+    )
+
+    pad_n = cfg.padding_num_residue
+    nodes_mask = np.zeros((pad_n,), dtype=bool)
+    nodes_mask[:n_node] = True
+    nodes_x = np.zeros((pad_n, 3), dtype=residue_loc.dtype)
+    nodes_x[:n_node] = residue_loc[:pad_n]
+
+    max_tokens = int(pad_n / cfg.downsampling_ratio)
+    token_num = int(n_node / cfg.downsampling_ratio)
+    tokens_mask = np.zeros((max_tokens,), dtype=bool)
+    tokens_mask[:token_num] = True
+
+    # Pad edges.
+    if cfg.num_neighbor < 0:
+        padding_num_edges = pad_n * pad_n
+        k_slots = pad_n
+    else:
+        k_slots = n_neighbor if n_node < cfg.num_neighbor else cfg.num_neighbor
+        padding_num_edges = n_neighbor * pad_n
+    edges_padded = np.zeros((padding_num_edges, edges.shape[1]), dtype=edges.dtype)
+    edges_padded[: min(n_edge, padding_num_edges)] = edges[:padding_num_edges]
+
+    canonical = not (n_node < cfg.num_neighbor or cfg.num_neighbor < 0)
+    if not canonical:
+        # Small/fully-connected proteins: pad each row to n_neighbor columns
+        # with the sink index n_node, then add self-loop rows for pad nodes.
+        def pad_directed(x):
+            m = np.reshape(x, (n_node, -1))
+            m = np.pad(
+                m[:, :n_neighbor],
+                ((0, 0), (0, max(n_neighbor - n_node, 0))),
+                mode="constant",
+                constant_values=n_node,
+            )
+            below = np.repeat(np.arange(m.shape[0], pad_n)[:, None], n_neighbor, axis=-1)
+            return np.concatenate([m, below], axis=0)[:pad_n].flatten()
+
+        senders, receivers = pad_directed(senders), pad_directed(receivers)
+    else:
+        tail = np.repeat(np.arange(n_node, pad_n), n_neighbor)
+        senders = np.concatenate([senders, tail])[:padding_num_edges]
+        receivers = np.concatenate([receivers, tail])[:padding_num_edges]
+
+    graph = GraphFeatures(
+        n_node=np.array([n_node]),
+        n_edge=np.array([n_edge]),
+        nodes_mask=nodes_mask[:, None],
+        tokens_mask=tokens_mask[:, None],
+        nodes_original_coordinates=nodes_x,
+        node_features=nodes_x,
+        edge_features=edges_padded,
+        senders=senders.astype(np.int32),
+        receivers=receivers.astype(np.int32),
+        canonical_receivers=canonical,
+    )
+
+    # Structure-module ground-truth features (for training / full-AE).
+    feats = sample.make_protein_features()
+    feats = {k: v[keep] for k, v in feats.items()}
+    feats = {k: v[sl] for k, v in feats.items()}
+    padded: Dict[str, np.ndarray] = {}
+    for k, v in feats.items():
+        out = np.zeros((pad_n,) + v.shape[1:], dtype=v.dtype)
+        out[: min(len(v), pad_n)] = v[:pad_n]
+        padded[k] = out
+    padded["nb_residues"] = np.asarray(n_node)
+    return graph, padded
+
+
+def make_graph_from_pdb(
+    pdb_path: str,
+    num_neighbor: int = 50,
+    downsampling_ratio: int = 1,
+    residue_loc_is_alphac: bool = True,
+    padding_num_residue: int = 512,
+) -> GraphFeatures:
+    """PDB file -> padded graph, with the reference CLI's validity gates."""
+    from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
+
+    sample = parse_pdb_file(pdb_path)
+    if sample.nb_residues > padding_num_residue:
+        raise NotImplementedError(
+            f"proteins with more than {padding_num_residue} residues are not "
+            f"supported; got {sample.nb_residues}"
+        )
+    if sample.nb_residues < num_neighbor:
+        raise NotImplementedError(
+            f"proteins with fewer than {num_neighbor} residues are not "
+            f"supported; got {sample.nb_residues}"
+        )
+    graph, _ = preprocess_sample(
+        sample,
+        FeaturizeConfig(
+            num_neighbor=num_neighbor,
+            downsampling_ratio=downsampling_ratio,
+            residue_loc_is_alphac=residue_loc_is_alphac,
+            padding_num_residue=padding_num_residue,
+            crop_index=padding_num_residue,
+            noise_level=0.0,
+        ),
+    )
+    return graph

@@ -1,0 +1,256 @@
+"""Protein structure samples: the parsed, featurization-ready representation.
+
+Feature parity with /root/reference/structure_tokenizer/data/
+protein_structure_sample.py (ProteinStructureSample 27-163 and the
+BioPython-based parser 166-248) — but the PDB parser here is our own
+fixed-column reader (no BioPython dependency), validated against the
+reference parser on the CASP14 corpus.
+"""
+from __future__ import annotations
+
+import dataclasses
+import io
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from protein_structure_tokenizer_tpu.data import constants, frames_np
+
+
+@dataclasses.dataclass(frozen=True)
+class ProteinSample:
+    chain_id: Optional[str]
+    nb_residues: int
+    aatype: np.ndarray  # (N, 21) float32 one-hot
+    atom37_positions: np.ndarray  # (N, 37, 3) float64
+    atom37_gt_exists: np.ndarray  # (N, 37) bool — atom resolved in the entry
+    atom37_atom_exists: np.ndarray  # (N, 37) bool — atom exists for the residue type
+    resolution: float = 0.0
+    pdb_cluster_size: int = 1
+
+    # -- persistence (npy dict round-trip, same layout as the reference) ----
+    @classmethod
+    def from_file(cls, filepath: str) -> "ProteinSample":
+        if not os.path.isfile(filepath):
+            raise FileNotFoundError(filepath)
+        with open(filepath, "rb") as f:
+            d = np.load(f, allow_pickle=True)[()]
+        return cls(**d)
+
+    def to_file(self, filepath: str) -> None:
+        np.save(filepath, dataclasses.asdict(self))
+
+    # -- masks / features ---------------------------------------------------
+    def get_missing_backbone_coords_mask(self) -> np.ndarray:
+        e = self.atom37_gt_exists
+        return ~(
+            e[:, constants.CA_INDEX]
+            & e[:, constants.N_INDEX]
+            & e[:, constants.C_INDEX]
+            & e[:, constants.O_INDEX]
+        )
+
+    def make_protein_features(self) -> Dict[str, np.ndarray]:
+        """Ground-truth features for the structure module / losses.
+
+        Replicates the reference's quirks exactly, including the O<->C slot
+        swap in its atom14 backbone layout (protein_structure_sample.py:104-110).
+        """
+        n = self.nb_residues
+        feats: Dict[str, np.ndarray] = {
+            "aatype": self.aatype,
+            "atom37_gt_positions": self.atom37_positions,
+        }
+        a37 = {k: constants.ATOM_ORDER[k] for k in ("N", "CA", "C", "O")}
+        # Quirk: 'O' goes to the C slot and 'C' to the O slot.
+        a14 = {
+            "N": constants.ATOM_ORDER["N"],
+            "CA": constants.ATOM_ORDER["CA"],
+            "O": constants.ATOM_ORDER["C"],
+            "C": constants.ATOM_ORDER["O"],
+        }
+        atom37_gt = np.zeros((n, 37), dtype=np.int32)
+        atom37_exists = np.zeros((n, 37), dtype=np.int32)
+        for idx in a14.values():
+            atom37_gt[:, idx] = self.atom37_gt_exists[:, idx]
+            atom37_exists[:, idx] = self.atom37_atom_exists[:, idx]
+        feats["atom37_gt_exists"] = atom37_gt
+        feats["atom37_atom_exists"] = atom37_exists
+
+        atom14_pos = np.zeros((n, 14, 3), dtype=np.float32)
+        atom14_exists = np.zeros((n, 14), dtype=np.int32)
+        for atom in ("N", "CA", "C", "O"):
+            atom14_pos[:, a14[atom]] = self.atom37_positions[:, a37[atom]]
+            atom14_exists[:, a14[atom]] = self.atom37_gt_exists[:, a37[atom]]
+        feats["atom14_gt_positions"] = atom14_pos
+        feats["atom14_gt_exists"] = atom14_exists
+
+        rot, trans = frames_np.make_transform_from_reference(
+            n_xyz=self.atom37_positions[:, a37["N"]],
+            ca_xyz=self.atom37_positions[:, a37["CA"]],
+            c_xyz=self.atom37_positions[:, a37["C"]],
+        )
+        quats = frames_np.rot_to_quat(rot)
+        feats["backbone_affine_tensor"] = np.concatenate([quats, trans], axis=-1)
+        feats["backbone_affine_mask"] = (
+            self.atom37_gt_exists[:, a37["N"]].astype(np.float32)
+            * self.atom37_gt_exists[:, a37["CA"]].astype(np.float32)
+            * self.atom37_gt_exists[:, a37["C"]].astype(np.float32)
+        )
+        feats.update(
+            atom37_to_backbone_frames(
+                np.argmax(self.aatype, axis=-1),
+                self.atom37_positions,
+                (self.atom37_gt_exists & self.atom37_atom_exists).astype(np.float32),
+            )
+        )
+        return feats
+
+
+def atom37_to_backbone_frames(
+    aatype: np.ndarray, all_atom_positions: np.ndarray, all_atom_mask: np.ndarray
+) -> Dict[str, np.ndarray]:
+    """Backbone-only rigid group GT frames (groups: bb, pre-omega, phi, psi).
+
+    Mirrors the reference's pruned atom37_to_frames (all_atom.py:137-268):
+    only groups 0 (C, CA, N) and 3 (CA, C, O) are populated, and the backbone
+    frame is mirrored to the legacy convention (x and z axes negated).
+    """
+    n = aatype.shape[0]
+    base_idx = np.zeros((4, 3), dtype=np.int32)
+    base_idx[0] = [constants.ATOM_ORDER["C"], constants.ATOM_ORDER["CA"], constants.ATOM_ORDER["N"]]
+    base_idx[3] = [constants.ATOM_ORDER["CA"], constants.ATOM_ORDER["C"], constants.ATOM_ORDER["O"]]
+
+    base_pos = all_atom_positions[:, base_idx]  # (N, 4, 3, 3)
+    rot, trans = frames_np.rigids_from_3_points_np(
+        base_pos[:, :, 0], base_pos[:, :, 1], base_pos[:, :, 2]
+    )
+
+    group_exists = np.zeros((n, 4), dtype=np.float32)
+    group_exists[:, 0] = 1
+    group_exists[:, 3] = 1
+    atoms_exist = all_atom_mask[:, base_idx]  # (N, 4, 3)
+    gt_exists = np.min(atoms_exist, axis=-1) * group_exists
+
+    # Mirror the backbone group's x and z axes (legacy AF2 convention).
+    mirror = np.tile(np.eye(3, dtype=np.float32), (4, 1, 1))
+    mirror[0, 0, 0] = -1
+    mirror[0, 2, 2] = -1
+    rot = np.einsum("ngij,gjk->ngik", rot, mirror)
+
+    flat12 = np.concatenate([rot.reshape(n, 4, 9), trans], axis=-1)
+    return {
+        "rigidgroups_gt_frames": flat12.astype(np.float32),
+        "rigidgroups_gt_exists": gt_exists,
+        "rigidgroups_group_exists": group_exists,
+    }
+
+
+# ---------------------------------------------------------------------------
+# PDB parsing (fixed-column, no BioPython)
+# ---------------------------------------------------------------------------
+
+
+def parse_pdb_string(pdb_str: str, chain_id: Optional[str] = None) -> ProteinSample:
+    """Parse a PDB file into a ProteinSample.
+
+    Matches the reference parser's semantics (protein_structure_sample.py:
+    166-248): non-standard residues become UNK, atoms outside the atom37
+    vocabulary are ignored, residues with no recognized atoms are skipped,
+    multi-model files and insertion codes are rejected.  Alternate locations
+    keep the highest-occupancy conformer.
+    """
+    residues: Dict[tuple, dict] = {}
+    order: List[tuple] = []
+    num_models = 0
+    in_model = False
+
+    for line in io.StringIO(pdb_str):
+        record = line[:6]
+        if record == "MODEL ":
+            num_models += 1
+            if num_models > 1:
+                raise ValueError(
+                    f"Only single model PDBs are supported. Found {num_models} models."
+                )
+            in_model = True
+        elif record == "ENDMDL":
+            in_model = False
+        elif record in ("ATOM  ", "HETATM"):
+            atom_name = line[12:16].strip()
+            altloc = line[16]
+            resname = line[17:20].strip()
+            chain = line[21]
+            try:
+                resseq = int(line[22:26])
+            except ValueError:
+                continue
+            icode = line[26]
+            if chain_id is not None and chain != chain_id:
+                continue
+            if icode != " ":
+                raise ValueError(
+                    f"PDB contains an insertion code at chain {chain} and residue "
+                    f"index {resseq}. These are not supported."
+                )
+            hetfield = " " if record == "ATOM  " else ("W" if resname in ("HOH", "WAT") else "H")
+            key = (chain, hetfield, resseq)
+            if key not in residues:
+                residues[key] = {"resname": resname, "atoms": {}}
+                order.append(key)
+            if atom_name not in constants.ATOM_ORDER:
+                continue
+            try:
+                occupancy = float(line[54:60])
+            except ValueError:
+                occupancy = 1.0
+            coord = np.array(
+                [float(line[30:38]), float(line[38:46]), float(line[46:54])],
+                dtype=np.float32,
+            )
+            atoms = residues[key]["atoms"]
+            if atom_name in atoms and altloc != " ":
+                if occupancy <= atoms[atom_name][1]:
+                    continue
+            atoms[atom_name] = (coord, occupancy)
+
+    aatype: List[int] = []
+    positions: List[np.ndarray] = []
+    gt_exists: List[np.ndarray] = []
+    atom_exists: List[np.ndarray] = []
+
+    for key in order:
+        res = residues[key]
+        if not res["atoms"]:
+            continue  # no recognized atom positions: skip residue
+        shortname = constants.RESTYPE_3TO1.get(res["resname"], "X")
+        res_name = constants.RESTYPE_1TO3.get(shortname, "UNK")
+        restype_idx = constants.RESTYPE_ORDER.get(shortname, constants.RESTYPE_NUM)
+
+        pos = np.zeros((37, 3), dtype=np.float64)
+        mask = np.zeros((37,), dtype=np.float64)
+        for name, (coord, _) in res["atoms"].items():
+            pos[constants.ATOM_ORDER[name]] = coord
+            mask[constants.ATOM_ORDER[name]] = 1.0
+        aatype.append(restype_idx)
+        positions.append(pos)
+        gt_exists.append(mask)
+        atom_exists.append(np.asarray(constants.RES_ATOM37_EXIST[res_name]))
+
+    n = len(positions)
+    one_hot = np.zeros((n, 21), dtype=np.float32)
+    one_hot[np.arange(n), np.asarray(aatype, dtype=np.int64)] = 1.0
+    return ProteinSample(
+        chain_id=chain_id,
+        nb_residues=n,
+        aatype=one_hot,
+        atom37_positions=np.asarray(positions),
+        atom37_gt_exists=np.asarray(gt_exists).astype(bool),
+        atom37_atom_exists=np.asarray(atom_exists).astype(bool),
+    )
+
+
+def parse_pdb_file(path: str, chain_id: Optional[str] = None) -> ProteinSample:
+    with open(path) as f:
+        return parse_pdb_string(f.read(), chain_id)

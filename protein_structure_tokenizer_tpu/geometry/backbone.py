@@ -1,0 +1,115 @@
+"""Backbone atom construction + FAPE, batched.
+
+Equivalents of the reference's backbone-only all_atom ops
+(/root/reference/structure_tokenizer/model/all_atom.py: torsion_angles_to_frames
+473-545, frames_and_literature_positions_to_atom14_pos 546-595,
+atom14_to_atom37 122-136, frame_aligned_point_error 1085-1153), written over
+stacked (..., 3, 3) rigids with static gathers instead of one-hot
+contractions.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from protein_structure_tokenizer_tpu.data import constants
+from protein_structure_tokenizer_tpu.geometry.rigid import (
+    Rigid,
+    rigid_from_tensor4x4,
+    rot_compose,
+)
+
+
+def torsion_angles_to_frames(backb_to_global: Rigid, angles_sin_cos: jax.Array) -> Rigid:
+    """Backbone rigid-group frames from the 3 backbone torsions.
+
+    backb_to_global: Rigid with batch shape (..., N); angles (..., N, 3, 2).
+    Returns Rigid with batch shape (..., N, 4): [backbone, pre-omega, phi, psi].
+    """
+    bb = constants.backbone_rigid_group_constants()
+    default = rigid_from_tensor4x4(jnp.asarray(bb["rigid_group_default_frame"][0]))  # (4,)
+
+    sin = angles_sin_cos[..., 0]
+    cos = angles_sin_cos[..., 1]
+    pad_shape = sin.shape[:-1] + (1,)
+    sin = jnp.concatenate([jnp.zeros(pad_shape), sin], axis=-1)  # (..., N, 4)
+    cos = jnp.concatenate([jnp.ones(pad_shape), cos], axis=-1)
+    zeros = jnp.zeros_like(sin)
+    ones = jnp.ones_like(sin)
+    # Rotation about the x-axis per group.
+    x_rot = jnp.stack(
+        [
+            jnp.stack([ones, zeros, zeros], axis=-1),
+            jnp.stack([zeros, cos, -sin], axis=-1),
+            jnp.stack([zeros, sin, cos], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., 4, 3, 3)
+
+    frames_to_backb = Rigid(
+        rot=rot_compose(default.rot, x_rot), trans=jnp.broadcast_to(default.trans, x_rot.shape[:-2] + (3,))
+    )
+    bb_expanded = Rigid(
+        rot=backb_to_global.rot[..., None, :, :], trans=backb_to_global.trans[..., None, :]
+    )
+    return bb_expanded.compose(frames_to_backb)
+
+
+def frames_and_literature_positions_to_atom14_pos(frames_to_global: Rigid) -> jax.Array:
+    """Place idealized backbone atoms; frames (..., N, 4) -> (..., N, 14, 3)."""
+    bb = constants.backbone_rigid_group_constants()
+    group_idx = jnp.asarray(bb["atom14_to_rigid_group"][0])  # (14,)
+    lit_pos = jnp.asarray(bb["atom14_rigid_group_positions"][0])  # (14, 3)
+    mask = jnp.asarray(bb["atom14_mask"][0])  # (14,)
+
+    # Static gather of each atom's group frame along the group axis.
+    atom_frames = Rigid(
+        rot=jnp.take(frames_to_global.rot, group_idx, axis=-3),
+        trans=jnp.take(frames_to_global.trans, group_idx, axis=-2),
+    )  # (..., N, 14)
+    positions = atom_frames.apply(jnp.broadcast_to(lit_pos, atom_frames.trans.shape))
+    return positions * mask[..., None]
+
+
+def atom14_to_atom37(atom14: jax.Array, aatype: jax.Array) -> jax.Array:
+    """(..., N, 14, 3), (..., N) int -> (..., N, 37, 3)."""
+    to14 = jnp.asarray(constants.restype_atom37_to_atom14())[aatype]  # (..., N, 37)
+    atom37 = jnp.take_along_axis(atom14, to14[..., None], axis=-2)
+    mask37 = jnp.asarray(constants.restype_atom37_mask())[aatype]
+    return atom37 * mask37[..., None]
+
+
+def atom37_mask_for_aatype(aatype: jax.Array) -> jax.Array:
+    return jnp.asarray(constants.restype_atom37_mask())[aatype]
+
+
+def frame_aligned_point_error(
+    pred_frames: Rigid,  # (num_frames,)
+    target_frames: Rigid,
+    frames_mask: jax.Array,  # (num_frames,)
+    pred_positions: jax.Array,  # (num_positions, 3)
+    target_positions: jax.Array,
+    positions_mask: jax.Array,  # (num_positions,)
+    length_scale: float,
+    l1_clamp_distance: Optional[float] = None,
+    epsilon: float = 1e-4,
+) -> jax.Array:
+    """FAPE: mean clamped distance error of points expressed in every frame."""
+    local_pred = pred_frames.inverse().apply(pred_positions[..., None, :, :])
+    local_target = target_frames.inverse().apply(target_positions[..., None, :, :])
+
+    error_dist = jnp.sqrt(
+        jnp.sum(jnp.square(local_pred - local_target), axis=-1) + epsilon
+    )
+    if l1_clamp_distance is not None:
+        error_dist = jnp.clip(error_dist, 0, l1_clamp_distance)
+
+    normed_error = error_dist / length_scale
+    normed_error *= jnp.expand_dims(frames_mask, axis=-1)
+    normed_error *= jnp.expand_dims(positions_mask, axis=-2)
+
+    normalization_factor = jnp.sum(frames_mask, axis=-1) * jnp.sum(positions_mask, axis=-1)
+    return jnp.sum(normed_error, axis=(-2, -1)) / (epsilon + normalization_factor)

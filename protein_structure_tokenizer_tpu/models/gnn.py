@@ -1,0 +1,193 @@
+"""Graph message-passing layers (GNN / ProteinMPNN-style), batched for TPU.
+
+Feature parity with /root/reference/structure_tokenizer/model/gnn_layers.py
+(GNNLayer 167-301, MPNNLayer 304-438), re-designed for TPU execution:
+
+  * The featurizer emits a *regular* edge table: every node has exactly K
+    neighbor slots and receivers are the canonical ``repeat(arange(N), K)``
+    (guaranteed for proteins with >= K residues, which is the inference
+    contract — the runner rejects smaller inputs, inference_runner.py:58-62).
+    Message aggregation is therefore a reshape to (B, N, K, D) and a sum over
+    K — a static, fusable VPU reduction instead of a scatter (segment_sum).
+  * A general ``segment_sum`` fallback handles irregular graphs (small or
+    fully-connected proteins) where padded edge slots point at the sink node.
+  * MLPs run on the flattened (B*E, D) table so XLA tiles them onto the MXU.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from protein_structure_tokenizer_tpu.models.layers import (
+    masked_layer_norm,
+    mlp,
+    mlp_init,
+    norm_init,
+)
+from protein_structure_tokenizer_tpu.utils.params import Params, subtree, with_prefix
+
+
+@dataclasses.dataclass(frozen=True)
+class GnnConfig:
+    layer_cls: str = "MPNNLayer"  # "MPNNLayer" | "GNNLayer"
+    hidden_dimension: int = 128
+    gnn_number_layers: int = 3
+    shared_layers: bool = False
+    graph_max_neighbor: int = 50
+
+
+def _gather_nodes(node_feats: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather of node rows: (B, N, D)[(B, E)] -> (B, E, D)."""
+    return jnp.take_along_axis(node_feats, idx[..., None], axis=1)
+
+
+def _aggregate(
+    messages: jax.Array,
+    receivers: jax.Array,
+    num_nodes: int,
+    canonical_receivers: bool,
+) -> jax.Array:
+    """Sum messages into receiver rows.
+
+    With canonical receivers (repeat(arange(N), K)) this is a reshape + sum;
+    otherwise a true segment-sum (slower scatter path, used only for proteins
+    smaller than K or fully-connected ablations).
+    """
+    if canonical_receivers:
+        batch, num_edges, dim = messages.shape
+        k = num_edges // num_nodes
+        return messages.reshape(batch, num_nodes, k, dim).sum(axis=2)
+    seg = jax.vmap(lambda m, r: jax.ops.segment_sum(m, r, num_segments=num_nodes))
+    return seg(messages, receivers)
+
+
+def _message_layer(
+    p: Params,
+    layer_cls: str,
+    config: GnnConfig,
+    node_feats: jax.Array,  # (B, N, D)
+    edge_feats: jax.Array,  # (B, E, D)
+    senders: jax.Array,  # (B, E)
+    receivers: jax.Array,  # (B, E)
+    nodes_mask: jax.Array,  # (B, N, 1)
+    canonical_receivers: bool,
+) -> tuple[jax.Array, jax.Array]:
+    dim = config.hidden_dimension
+    batch, num_nodes, _ = node_feats.shape
+    if layer_cls == "MPNNLayer":
+        activation = jax.nn.gelu
+        node_mlp0 = [p[f"node_mlp_0/~/linear_{i}"] for i in range(3)]
+        node_mlp1 = [p[f"node_mlp_1/~/linear_{i}"] for i in range(2)]
+        edge_mlp = [p[f"edge_mlp/~/linear_{i}"] for i in range(3)]
+    elif layer_cls == "GNNLayer":
+        activation = jax.nn.swish
+        node_mlp0 = [p[f"node_mlp_0/~/linear_{i}"] for i in range(2)]
+        node_mlp1 = [p["node_mlp_1/~/linear_0"]]
+        edge_mlp = [p[f"edge_mlp/~/linear_{i}"] for i in range(2)]
+    else:
+        raise ValueError(f"unknown gnn layer class {layer_cls!r}")
+
+    def messages_from(feats: jax.Array, params_list) -> jax.Array:
+        msg_in = jnp.concatenate(
+            [_gather_nodes(feats, senders), _gather_nodes(feats, receivers), edge_feats],
+            axis=-1,
+        )
+        return mlp(params_list, msg_in, activation)
+
+    # Node update: aggregate incoming messages, normalize by the (static)
+    # neighbor count, residual + masked LN, then a feed-forward block.
+    agg = _aggregate(
+        messages_from(node_feats, node_mlp0), receivers, num_nodes, canonical_receivers
+    )
+    if config.graph_max_neighbor > 0:
+        agg = agg / config.graph_max_neighbor
+    else:
+        agg = agg / jnp.sum(nodes_mask)
+
+    node_feats = masked_layer_norm(p["norm_msg"], node_feats + agg, nodes_mask)
+    ffn = mlp(node_mlp1, node_feats, activation)
+    node_feats = masked_layer_norm(p["norm_msg_1"], node_feats + ffn, nodes_mask)
+
+    # Edge update from the *updated* node features.
+    edge_msg = messages_from(node_feats, edge_mlp)
+    edge_upd = edge_feats + edge_msg
+    if config.graph_max_neighbor > 0:
+        edge_upd = edge_upd.reshape(batch, -1, config.graph_max_neighbor, dim)
+    else:
+        edge_upd = edge_upd.reshape(batch, num_nodes, num_nodes, dim)
+    edge_out = masked_layer_norm(p["norm_msg_2"], edge_upd, nodes_mask[..., None])
+    edge_out = edge_out.reshape(batch, -1, dim)
+
+    return edge_out, node_feats
+
+
+def graph_neural_network(
+    params: Params,
+    config: GnnConfig,
+    node_feats: jax.Array,
+    edge_feats: jax.Array,
+    senders: jax.Array,
+    receivers: jax.Array,
+    nodes_mask: jax.Array,
+    *,
+    canonical_receivers: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Stack of message-passing layers; returns (node_feats, edge_feats).
+
+    Param scopes: ``mpnn_layer``, ``mpnn_layer_1``, ... (or ``gnn_layer*``),
+    matching the reference's haiku module auto-numbering.
+    """
+    base = config.layer_cls.replace("Layer", "_layer").lower()  # mpnn_layer
+    for i in range(config.gnn_number_layers):
+        idx = 0 if config.shared_layers else i
+        scope = base if idx == 0 else f"{base}_{idx}"
+        edge_feats, node_feats = _message_layer(
+            subtree(params, scope),
+            config.layer_cls,
+            config,
+            node_feats,
+            edge_feats,
+            senders,
+            receivers,
+            nodes_mask,
+            canonical_receivers,
+        )
+    return node_feats, edge_feats
+
+
+def graph_neural_network_init(key, config: GnnConfig) -> Params:
+    dim = config.hidden_dimension
+    base = config.layer_cls.replace("Layer", "_layer").lower()
+    num_distinct = 1 if config.shared_layers else config.gnn_number_layers
+    params: Params = {}
+    keys = jax.random.split(key, num_distinct * 3)
+    for i in range(num_distinct):
+        scope = base if i == 0 else f"{base}_{i}"
+        k0, k1, k2 = keys[3 * i : 3 * i + 3]
+        if config.layer_cls == "MPNNLayer":
+            sub = {
+                **with_prefix(
+                    {s: l for s, l in _mlp_scopes(k0, [3 * dim, dim, dim, dim]).items()},
+                    "node_mlp_0/~",
+                ),
+                **with_prefix(_mlp_scopes(k1, [dim, 4 * dim, dim]), "node_mlp_1/~"),
+                **with_prefix(_mlp_scopes(k2, [3 * dim, dim, dim, dim]), "edge_mlp/~"),
+            }
+        else:
+            sub = {
+                **with_prefix(_mlp_scopes(k0, [3 * dim, 2 * dim, dim]), "node_mlp_0/~"),
+                **with_prefix(_mlp_scopes(k1, [dim, dim]), "node_mlp_1/~"),
+                **with_prefix(_mlp_scopes(k2, [3 * dim, 2 * dim, dim]), "edge_mlp/~"),
+            }
+        sub["norm_msg"] = norm_init(dim)
+        sub["norm_msg_1"] = norm_init(dim)
+        sub["norm_msg_2"] = norm_init(dim)
+        params.update(with_prefix(sub, scope))
+    return params
+
+
+def _mlp_scopes(key, dims) -> Params:
+    return {name: leaves for name, leaves in mlp_init(key, dims).items()}

@@ -1,0 +1,132 @@
+"""Pairwise representation + sequence decoder (single track -> pair track).
+
+Parity with /root/reference/structure_tokenizer/model/modules.py:639-740
+(PairwiseRepresentation) and sequence_decoder.py:27-112, written natively
+batched: the all-pairs relative positional encoding is computed once as an
+(N, N, D) broadcast instead of vmapping a scalar PE over N^2 index pairs,
+and the outer product runs as a single einsum that XLA maps onto the MXU.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from protein_structure_tokenizer_tpu.models.attention import (
+    TransitionConfig,
+    transition,
+    transition_init,
+)
+from protein_structure_tokenizer_tpu.models.layers import (
+    af2_linear,
+    af2_linear_init_leaves,
+    layer_norm,
+    linear,
+    linear_init,
+    norm_init,
+)
+from protein_structure_tokenizer_tpu.models.posenc import sinusoidal_features
+from protein_structure_tokenizer_tpu.utils.params import Params, subtree, with_prefix
+
+
+@dataclasses.dataclass(frozen=True)
+class PairRepConfig:
+    num_intermediate_factor: int = 2
+    output_dim: int = 128
+    lnormalisation: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class SeqDecoderConfig:
+    positional_encoding_dimension: int = 128
+    seq_max_size: int = 512
+    pair_representation: PairRepConfig = PairRepConfig()
+    pair_transition: TransitionConfig = TransitionConfig()
+
+
+def pairwise_representation(
+    p: Params, cfg: PairRepConfig, x: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """Outer-product pair init (AF2 alg.10 flavor).
+
+    x: (B, N, C); mask: (B, N, 1) row validity. Returns (B, N, N, output_dim).
+    """
+    x = layer_norm(p["layer_norm_input"], x)
+    left = mask * af2_linear(p["left_projection"], x)
+    right = mask * af2_linear(p["right_projection"], x)
+    outer = jnp.einsum("...nd,...kd->...nkd", left, right)
+
+    pair = af2_linear(p["output_projection_layer1"], outer)
+    pair = jax.nn.relu(pair)
+    pair = af2_linear(p["output_projection_layer2"], pair)
+
+    residual = af2_linear(p["right_projection_1"], outer)
+    if cfg.lnormalisation:
+        return layer_norm(p["layer_norm_output"], pair + residual)
+    return pair + residual
+
+
+def pairwise_representation_init(key, cfg: PairRepConfig, in_dim: int) -> Params:
+    inter = cfg.num_intermediate_factor * in_dim
+    inter_out = cfg.num_intermediate_factor * cfg.output_dim
+    ks = jax.random.split(key, 5)
+    return {
+        "layer_norm_input": norm_init(in_dim),
+        "left_projection": af2_linear_init_leaves(ks[0], (in_dim,), (inter,)),
+        "right_projection": af2_linear_init_leaves(ks[1], (in_dim,), (inter,)),
+        "output_projection_layer1": af2_linear_init_leaves(
+            ks[2], (inter,), (inter_out,), initializer="relu"
+        ),
+        "output_projection_layer2": af2_linear_init_leaves(ks[3], (inter_out,), (cfg.output_dim,)),
+        "right_projection_1": af2_linear_init_leaves(ks[4], (inter,), (cfg.output_dim,)),
+        "layer_norm_output": norm_init(cfg.output_dim),
+    }
+
+
+def sequence_decoder(
+    params: Params,
+    cfg: SeqDecoderConfig,
+    single_emb: jax.Array,  # (B, N, C)
+    nodes_mask: jax.Array,  # (B, N, 1)
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (s_i, z_ij): the single track unchanged and the pair track."""
+    batch, n, _ = single_emb.shape
+
+    pair = pairwise_representation(
+        subtree(params, "pairwise_representation"),
+        cfg.pair_representation,
+        single_emb,
+        nodes_mask,
+    )
+
+    # Dense all-pairs relative PE over index differences sender - receiver.
+    # The reference flattens senders=[0..N-1]*N, receivers=[0]*N,[1]*N,... and
+    # reshapes row-major, so entry (r, c) encodes difference c - r
+    # (model.py:519-523 + sequence_decoder.py:73-98).
+    d = cfg.positional_encoding_dimension
+    diff = jnp.arange(n)[None, :] - jnp.arange(n)[:, None]
+    relpos = sinusoidal_features(diff, cfg.seq_max_size, d)  # (N, N, D)
+    relpos = jnp.broadcast_to(relpos[None], (batch, n, n, d))
+
+    pair = jnp.concatenate([relpos, pair], axis=-1)
+    pair = linear(params["linear"], pair)
+    pair = transition(
+        subtree(params, "pair_transition_init"), cfg.pair_transition, pair
+    )
+    return single_emb, pair
+
+
+def sequence_decoder_init(key, cfg: SeqDecoderConfig, in_dim: int) -> Params:
+    k0, k1, k2 = jax.random.split(key, 3)
+    d = cfg.positional_encoding_dimension
+    return {
+        **with_prefix(
+            pairwise_representation_init(k0, cfg.pair_representation, in_dim),
+            "pairwise_representation",
+        ),
+        "linear": linear_init(k1, d + cfg.pair_representation.output_dim, d),
+        **with_prefix(
+            transition_init(k2, cfg.pair_transition, d), "pair_transition_init"
+        ),
+    }

@@ -1,0 +1,355 @@
+"""AF2-style structure module: IPA + iterative backbone refinement.
+
+Behavioral parity with /root/reference/structure_tokenizer/model/folding.py
+(InvariantPointAttention 36-288, FoldIteration 291-385, generate_affines
+388-454, StructureModule 457-525, MultiRigidSidechain 666-746), TPU-first:
+
+  * Natively batched (B, N, ...) — no per-sample vmap.
+  * The 8 fold iterations share parameters (as in the reference) and run as a
+    ``jax.lax.scan`` so the compiled program contains the iteration body once.
+  * Point-attention reductions are expressed as broadcast-multiply + reduce
+    (never `matmul`) so they stay float32 on the VPU — the same trick the
+    reference applies for TPU correctness (folding.py:233-241).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from protein_structure_tokenizer_tpu.geometry import backbone
+from protein_structure_tokenizer_tpu.geometry.rigid import QuatRigid, Rigid
+from protein_structure_tokenizer_tpu.models.layers import (
+    af2_linear,
+    af2_linear_init_leaves,
+    layer_norm,
+    norm_init,
+)
+from protein_structure_tokenizer_tpu.utils.params import Params, subtree, with_prefix
+
+
+@dataclasses.dataclass(frozen=True)
+class SidechainConfig:
+    num_channel: int = 128
+    num_residual_block: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class StructureModuleConfig:
+    num_layer: int = 8
+    num_channel: int = 384
+    num_head: int = 12
+    num_layer_in_transition: int = 3
+    num_point_qk: int = 4
+    num_point_v: int = 8
+    num_scalar_qk: int = 16
+    num_scalar_v: int = 16
+    position_scale: float = 10.0
+    pair_channel: int = 128
+    single_channel: int = 128
+    dist_epsilon: float = 1e-8
+    sidechain: SidechainConfig = SidechainConfig()
+
+
+def invariant_point_attention(
+    p: Params,
+    cfg: StructureModuleConfig,
+    inputs_1d: jax.Array,  # (B, N, C)
+    inputs_2d: jax.Array,  # (B, N, N, C2)
+    mask: jax.Array,  # (B, N, 1)
+    affine: QuatRigid,  # batch shape (B, N)
+) -> jax.Array:
+    batch, num_res, _ = inputs_1d.shape
+    h = cfg.num_head
+    sqk, sv = cfg.num_scalar_qk, cfg.num_scalar_v
+    pqk, pv = cfg.num_point_qk, cfg.num_point_v
+
+    q_scalar = af2_linear(p["q_scalar"], inputs_1d).reshape(batch, num_res, h, sqk)
+    kv_scalar = af2_linear(p["kv_scalar"], inputs_1d).reshape(batch, num_res, h, sv + sqk)
+    k_scalar, v_scalar = jnp.split(kv_scalar, [sqk], axis=-1)
+
+    def to_global_points(leaves, num_points):
+        # Linear output layout is [all-x, all-y, all-z] blocks of h*num_points
+        # (the reference splits axis -1 in 3; folding.py:134,151).
+        local = af2_linear(leaves, inputs_1d).reshape(batch, num_res, 3, h * num_points)
+        rot = affine.rot[..., :, :, None]  # (B, N, 3, 3, 1)
+        pts = jnp.sum(rot * local[..., None, :, :], axis=-2)  # (B, N, 3, h*P)
+        pts = pts + affine.trans[..., :, None]
+        return pts.reshape(batch, num_res, 3, h, num_points)
+
+    q_point = to_global_points(p["q_point_local"], pqk)
+    kv_point = to_global_points(p["kv_point_local"], pqk + pv)
+    k_point, v_point = jnp.split(kv_point, [pqk], axis=-1)
+
+    scalar_variance = max(sqk, 1) * 1.0
+    point_variance = max(pqk, 1) * 9.0 / 2
+    num_logit_terms = 3
+    scalar_weights = np.sqrt(1.0 / (num_logit_terms * scalar_variance))
+    point_weights = np.sqrt(1.0 / (num_logit_terms * point_variance))
+    attention_2d_weights = np.sqrt(1.0 / num_logit_terms)
+
+    trainable_pw = jax.nn.softplus(p[""]["trainable_point_weights"])  # (h,)
+    head_point_weights = point_weights * trainable_pw  # (h,)
+
+    # Point distances: (B, h, Nq, Nk) via f32 broadcast + reduce.
+    qp = jnp.transpose(q_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3)
+    kp = jnp.transpose(k_point, (0, 3, 1, 4, 2))
+    dist2 = jnp.sum(
+        jnp.square(qp[:, :, :, None, :, :] - kp[:, :, None, :, :, :]), axis=-1
+    )  # (B, h, Nq, Nk, P)
+    attn_qk_point = -0.5 * jnp.sum(
+        head_point_weights[None, :, None, None, None] * dist2, axis=-1
+    )
+
+    q = jnp.swapaxes(scalar_weights * q_scalar, -2, -3)  # (B, h, N, sqk)
+    k = jnp.swapaxes(k_scalar, -2, -3)
+    v = jnp.swapaxes(v_scalar, -2, -3)
+    attn_qk_scalar = jnp.einsum("bhqc,bhkc->bhqk", q, k)
+    attn_logits = attn_qk_scalar + attn_qk_point
+
+    attention_2d = af2_linear(p["attention_2d"], inputs_2d)  # (B, N, N, h)
+    attn_logits = attn_logits + attention_2d_weights * jnp.transpose(
+        attention_2d, (0, 3, 1, 2)
+    )
+
+    mask_2d = mask * jnp.swapaxes(mask, -1, -2)  # (B, N, N)
+    attn_logits = attn_logits - 1e5 * (1.0 - mask_2d[:, None])
+
+    attn = jax.nn.softmax(attn_logits)  # (B, h, Nq, Nk)
+
+    result_scalar = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
+    result_scalar = jnp.swapaxes(result_scalar, -2, -3).reshape(batch, num_res, h * sv)
+
+    # Float32 multiply+reduce for point values (no matmul).
+    vp = jnp.transpose(v_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3)
+    result_point_global = jnp.sum(
+        attn[..., None, None] * vp[:, :, None, :, :, :], axis=-3
+    )  # (B, h, Nq, P, 3)
+    result_point_global = jnp.transpose(result_point_global, (0, 2, 4, 1, 3)).reshape(
+        batch, num_res, 3, h * pv
+    )
+
+    # Back to local frames.
+    centered = result_point_global - affine.trans[..., :, None]
+    rot = affine.rot[..., :, :, None]
+    result_point_local = jnp.sum(rot * centered[..., :, None, :], axis=-3)  # (B,N,3,h*pv)
+
+    point_norm = jnp.sqrt(
+        cfg.dist_epsilon + jnp.sum(jnp.square(result_point_local), axis=-2)
+    )  # (B, N, h*pv)
+
+    result_attention_over_2d = jnp.einsum("bhij,bijc->bihc", attn, inputs_2d)
+    result_attention_over_2d = result_attention_over_2d.reshape(batch, num_res, -1)
+
+    final_act = jnp.concatenate(
+        [
+            result_scalar,
+            result_point_local[..., 0, :],
+            result_point_local[..., 1, :],
+            result_point_local[..., 2, :],
+            point_norm,
+            result_attention_over_2d,
+        ],
+        axis=-1,
+    )
+    return af2_linear(p["output_projection"], final_act)
+
+
+def multi_rigid_sidechain(
+    p: Params,
+    cfg: SidechainConfig,
+    affine: QuatRigid,  # (B, N), translations already in angstroms
+    act: jax.Array,
+    initial_act: jax.Array,
+) -> dict:
+    s = af2_linear(p["input_projection"], jax.nn.relu(act)) + af2_linear(
+        p["input_projection_1"], jax.nn.relu(initial_act)
+    )
+    for i in range(cfg.num_residual_block):
+        suffix = "" if i == 0 else f"_{i}"
+        old = s
+        s = af2_linear(p[f"resblock1{suffix}"], jax.nn.relu(s))
+        s = af2_linear(p[f"resblock2{suffix}"], jax.nn.relu(s))
+        s = s + old
+
+    batch, num_res, _ = s.shape
+    unnormalized = af2_linear(p["unnormalized_angles"], jax.nn.relu(s))
+    unnormalized = unnormalized.reshape(batch, num_res, 3, 2)
+    angles = unnormalized / jnp.sqrt(
+        jnp.maximum(jnp.sum(jnp.square(unnormalized), axis=-1, keepdims=True), 1e-12)
+    )
+
+    frames = backbone.torsion_angles_to_frames(affine.as_rigid(), angles)  # (B,N,4)
+    atom_pos = backbone.frames_and_literature_positions_to_atom14_pos(frames)
+
+    return {
+        "angles_sin_cos": angles,
+        "unnormalized_angles_sin_cos": unnormalized,
+        "atom_pos": atom_pos,  # (B, N, 14, 3)
+        "frames": frames,  # Rigid (B, N, 4)
+    }
+
+
+def fold_iteration(
+    p: Params,
+    cfg: StructureModuleConfig,
+    activations: dict,
+    sequence_mask: jax.Array,
+    initial_act: jax.Array,
+    static_feat_2d: jax.Array,
+) -> tuple[dict, dict]:
+    affine = QuatRigid.from_tensor(activations["affine"])
+    act = activations["act"]
+
+    attn = invariant_point_attention(
+        subtree(p, "invariant_point_attention"),
+        cfg,
+        act,
+        static_feat_2d,
+        sequence_mask,
+        affine,
+    )
+    act = act + attn
+    act = layer_norm(p["attention_layer_norm"], act)
+
+    input_act = act
+    for i in range(cfg.num_layer_in_transition):
+        suffix = "" if i == 0 else f"_{i}"
+        act = af2_linear(p[f"transition{suffix}"], act)
+        if i < cfg.num_layer_in_transition - 1:
+            act = jax.nn.relu(act)
+    act = act + input_act
+    act = layer_norm(p["transition_layer_norm"], act)
+
+    affine = affine.pre_compose(af2_linear(p["affine_update"], act))
+
+    sc = multi_rigid_sidechain(
+        subtree(p, "rigid_sidechain"),
+        cfg.sidechain,
+        affine.scale_translation(cfg.position_scale),
+        act,
+        initial_act,
+    )
+
+    outputs = {"affine": affine.to_tensor(), "sc": sc}
+    affine = affine.stop_rotation_gradient()
+    new_activations = {"act": act, "affine": affine.to_tensor()}
+    return new_activations, outputs
+
+
+def structure_module(
+    params: Params,
+    cfg: StructureModuleConfig,
+    representations: dict,  # {"single": (B,N,Cs), "pair": (B,N,N,Cz)}
+    features: dict,  # {"aatype": (B,N,21) one-hot, "atom37_gt_exists": (B,N,37)}
+    sequence_mask: jax.Array,  # (B, N, 1)
+) -> dict:
+    act = layer_norm(params["single_layer_norm"], representations["single"])
+    initial_act = act
+    act = af2_linear(params["initial_projection"], act)
+
+    batch, num_res = act.shape[:2]
+    affine = QuatRigid.identity((batch, num_res))
+
+    act_2d = layer_norm(params["pair_layer_norm"], representations["pair"])
+
+    fold_params = subtree(params, "fold_iteration")
+
+    def step(carry, _):
+        new_carry, out = fold_iteration(
+            fold_params, cfg, carry, sequence_mask, initial_act, act_2d
+        )
+        return new_carry, out
+
+    activations = {"act": act, "affine": affine.to_tensor()}
+    activations, outputs = jax.lax.scan(
+        step, activations, None, length=cfg.num_layer
+    )  # outputs stacked on a leading (num_layer,) axis
+
+    ret = {}
+    ret["representations"] = {"structure_module": activations["act"]}
+    traj_scale = jnp.array([1.0] * 4 + [cfg.position_scale] * 3)
+    ret["traj"] = outputs["affine"] * traj_scale  # (L, B, N, 7)
+    ret["int_affines"] = ret["traj"][:-1]
+    ret["final_affines"] = ret["traj"][-1]
+    ret["sidechains"] = outputs["sc"]
+
+    atom14_pred = outputs["sc"]["atom_pos"][-1]  # (B, N, 14, 3)
+    aatype = jnp.argmax(features["aatype"], axis=-1)
+    atom37_pred = backbone.atom14_to_atom37(atom14_pred, aatype)
+    atom37_mask = features["atom37_gt_exists"]
+    atom37_pred = atom37_pred * atom37_mask[..., None]
+    ret["final_atom_positions"] = atom37_pred
+    ret["final_atom_mask"] = atom37_mask
+    return ret
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _ipa_init(key, cfg: StructureModuleConfig) -> Params:
+    h, c = cfg.num_head, cfg.num_channel
+    sqk, sv, pqk, pv = cfg.num_scalar_qk, cfg.num_scalar_v, cfg.num_point_qk, cfg.num_point_v
+    ks = jax.random.split(key, 7)
+    out_dim = h * sv + 3 * h * pv + h * pv + h * cfg.pair_channel
+    return {
+        "": {
+            "trainable_point_weights": jnp.full(
+                (h,), float(np.log(np.exp(1.0) - 1.0)), jnp.float32
+            )
+        },
+        "q_scalar": af2_linear_init_leaves(ks[0], (c,), (h * sqk,)),
+        "kv_scalar": af2_linear_init_leaves(ks[1], (c,), (h * (sv + sqk),)),
+        "q_point_local": af2_linear_init_leaves(ks[2], (c,), (h * 3 * pqk,)),
+        "kv_point_local": af2_linear_init_leaves(ks[3], (c,), (h * 3 * (pqk + pv),)),
+        "attention_2d": af2_linear_init_leaves(ks[4], (cfg.pair_channel,), (h,)),
+        "output_projection": af2_linear_init_leaves(ks[5], (out_dim,), (c,)),
+    }
+
+
+def _sidechain_init(key, cfg: StructureModuleConfig) -> Params:
+    sc = cfg.sidechain
+    ks = jax.random.split(key, 8)
+    p = {
+        "input_projection": af2_linear_init_leaves(ks[0], (cfg.num_channel,), (sc.num_channel,)),
+        "input_projection_1": af2_linear_init_leaves(ks[1], (cfg.single_channel,), (sc.num_channel,)),
+        "unnormalized_angles": af2_linear_init_leaves(ks[2], (sc.num_channel,), (6,)),
+    }
+    for i in range(sc.num_residual_block):
+        suffix = "" if i == 0 else f"_{i}"
+        p[f"resblock1{suffix}"] = af2_linear_init_leaves(
+            ks[3 + 2 * i], (sc.num_channel,), (sc.num_channel,), initializer="relu"
+        )
+        p[f"resblock2{suffix}"] = af2_linear_init_leaves(
+            ks[4 + 2 * i], (sc.num_channel,), (sc.num_channel,)
+        )
+    return p
+
+
+def structure_module_init(key, cfg: StructureModuleConfig) -> Params:
+    ks = jax.random.split(key, 10)
+    c = cfg.num_channel
+    fold: Params = {}
+    fold.update(with_prefix(_ipa_init(ks[0], cfg), "invariant_point_attention"))
+    fold["attention_layer_norm"] = norm_init(c)
+    fold["transition_layer_norm"] = norm_init(c)
+    for i in range(cfg.num_layer_in_transition):
+        suffix = "" if i == 0 else f"_{i}"
+        init = "relu" if i < cfg.num_layer_in_transition - 1 else "linear"
+        fold[f"transition{suffix}"] = af2_linear_init_leaves(
+            ks[1 + i], (c,), (c,), initializer=init
+        )
+    fold["affine_update"] = af2_linear_init_leaves(ks[4], (c,), (6,))
+    fold.update(with_prefix(_sidechain_init(ks[5], cfg), "rigid_sidechain"))
+
+    params: Params = {
+        "single_layer_norm": norm_init(cfg.single_channel),
+        "pair_layer_norm": norm_init(cfg.pair_channel),
+        "initial_projection": af2_linear_init_leaves(ks[6], (cfg.single_channel,), (c,)),
+    }
+    params.update(with_prefix(fold, "fold_iteration"))
+    return params

@@ -1,0 +1,24 @@
+import os
+import sys
+
+# Simulate an 8-device mesh on CPU for all tests (sharding/jit topology is
+# device-count generic; the real TPU path is exercised by bench.py).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for path in (REPO_ROOT, os.path.join(REPO_ROOT, "tests", "refsupport")):
+    if path not in sys.path:
+        sys.path.insert(0, path)
+
+import pytest  # noqa: E402
+
+REFERENCE_AVAILABLE = os.path.isdir("/root/reference")
+
+requires_reference = pytest.mark.skipif(
+    not REFERENCE_AVAILABLE, reason="reference repo not mounted at /root/reference"
+)

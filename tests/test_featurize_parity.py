@@ -1,0 +1,101 @@
+"""Golden parity: our host featurizer vs the reference preprocessing."""
+import glob
+
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+from protein_structure_tokenizer_tpu.data.featurize import (
+    FeaturizeConfig,
+    preprocess_sample,
+)
+from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
+
+CASP14 = sorted(glob.glob("/root/reference/casp14_pdbs/*.pdb"))
+
+
+@requires_reference
+@pytest.mark.parametrize("pdb", CASP14[:4] + CASP14[-2:])
+def test_graph_matches_reference(pdb):
+    from refmodel import import_reference
+
+    import_reference()
+    from structure_tokenizer.data.preprocessing import preprocess_sample as ref_pre
+    from structure_tokenizer.data.protein_structure_sample import ProteinStructureSample
+
+    ours_sample = parse_pdb_file(pdb)
+    if ours_sample.nb_residues > 512 or ours_sample.nb_residues < 50:
+        pytest.skip("outside supported size range")
+
+    # Feed the reference preprocessing from *our* parsed sample so this test
+    # isolates featurization; parser parity is covered separately.
+    ref_sample = ProteinStructureSample(
+        chain_id=None,
+        nb_residues=ours_sample.nb_residues,
+        aatype=ours_sample.aatype,
+        atom37_positions=ours_sample.atom37_positions,
+        atom37_gt_exists=ours_sample.atom37_gt_exists,
+        atom37_atom_exists=ours_sample.atom37_atom_exists,
+        resolution=0.0,
+        pdb_cluster_size=1,
+    )
+    ref_batch = ref_pre(
+        sample=ref_sample,
+        num_neighbor=50,
+        downsampling_ratio=1,
+        residue_loc_is_alphac=True,
+        padding_num_residue=512,
+        crop_index=512,
+        noise_level=0.0,
+    )
+    ref_graph = ref_batch.graph
+
+    graph, feats = preprocess_sample(ours_sample, FeaturizeConfig())
+
+    np.testing.assert_array_equal(graph.senders, np.asarray(ref_graph.senders))
+    np.testing.assert_array_equal(graph.receivers, np.asarray(ref_graph.receivers))
+    np.testing.assert_array_equal(graph.nodes_mask, np.asarray(ref_graph.nodes_mask))
+    np.testing.assert_array_equal(graph.tokens_mask, np.asarray(ref_graph.tokens_mask))
+    np.testing.assert_allclose(
+        graph.edge_features, np.asarray(ref_graph.edge_features), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        graph.nodes_original_coordinates,
+        np.asarray(ref_graph.nodes_original_coordinates),
+        atol=0,
+    )
+
+    ref_feats = ref_batch.features
+    for key in ref_feats:
+        np.testing.assert_allclose(
+            np.asarray(feats[key]),
+            np.asarray(ref_feats[key]),
+            atol=1e-12,
+            err_msg=f"feature {key} mismatch",
+        )
+
+
+@requires_reference
+def test_parser_matches_biopython_semantics():
+    """Our fixed-column parser against the reference's BioPython parser.
+
+    BioPython isn't installed in this environment, so instead we assert the
+    invariants the reference pipeline depends on for the CASP14 corpus:
+    residue count == count of distinct resseq, backbone fully present, and
+    coordinates recoverable from the raw text.
+    """
+    pdb = CASP14[0]
+    sample = parse_pdb_file(pdb)
+    with open(pdb) as f:
+        lines = [l for l in f if l.startswith("ATOM")]
+    resseqs = {int(l[22:26]) for l in lines}
+    assert sample.nb_residues == len(resseqs)
+    ca_lines = [l for l in lines if l[12:16].strip() == "CA"]
+    ca_ours = sample.atom37_positions[:, 1]
+    assert len(ca_lines) == sample.nb_residues
+    first_ca = np.array(
+        [float(ca_lines[0][30:38]), float(ca_lines[0][38:46]), float(ca_lines[0][46:54])],
+        dtype=np.float32,
+    )
+    np.testing.assert_allclose(ca_ours[0], first_ca, atol=0)
