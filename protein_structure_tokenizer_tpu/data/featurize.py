@@ -130,7 +130,10 @@ def preprocess_sample(
         ca_xyz=sample.atom37_positions[:, constants.CA_INDEX],
         c_xyz=sample.atom37_positions[:, constants.C_INDEX],
     )
-    frame_x, frame_y, frame_z = rot[..., 0], rot[..., 1], rot[..., 2]
+    # The reference's basis row order is (n, u, v) = rotation columns
+    # (2, 0, 1): preprocessing.py:94-97 splits columns as [u, v, n] and
+    # protein_utils.py:406-408 stacks [n, u, v].
+    frame_x, frame_y, frame_z = rot[..., 2], rot[..., 0], rot[..., 1]
 
     keep = ~missing
     frame_x, frame_y, frame_z = frame_x[keep], frame_y[keep], frame_z[keep]

@@ -122,7 +122,9 @@ def atom37_to_backbone_frames(
     base_idx[0] = [constants.ATOM_ORDER["C"], constants.ATOM_ORDER["CA"], constants.ATOM_ORDER["N"]]
     base_idx[3] = [constants.ATOM_ORDER["CA"], constants.ATOM_ORDER["C"], constants.ATOM_ORDER["O"]]
 
-    base_pos = all_atom_positions[:, base_idx]  # (N, 4, 3, 3)
+    # float32 like the reference (its batched_gather_np casts to float32,
+    # model/utils.py:45-53), so downstream frames match bit-for-bit.
+    base_pos = all_atom_positions[:, base_idx].astype(np.float32)  # (N, 4, 3, 3)
     rot, trans = frames_np.rigids_from_3_points_np(
         base_pos[:, :, 0], base_pos[:, :, 1], base_pos[:, :, 2]
     )

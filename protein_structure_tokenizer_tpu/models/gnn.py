@@ -49,18 +49,32 @@ def _aggregate(
     receivers: jax.Array,
     num_nodes: int,
     canonical_receivers: bool,
+    exact: bool,
 ) -> jax.Array:
     """Sum messages into receiver rows.
 
-    With canonical receivers (repeat(arange(N), K)) this is a reshape + sum;
-    otherwise a true segment-sum (slower scatter path, used only for proteins
-    smaller than K or fully-connected ablations).
+    Two modes:
+      * fast (default): with canonical receivers (repeat(arange(N), K)) the
+        aggregation is a reshape + sum over the K axis — a static, fusable
+        reduction with no scatter.  Summation *order* differs from
+        segment_sum, so activations drift at float32 ulp level (amplified to
+        ~1e-3 after three masked-LN layers; token ids are almost always
+        unaffected because FSQ rounds to an integer grid).
+      * exact: ``jax.ops.segment_sum`` — the reference's primitive, bit-exact
+        against it, and the only valid path when receivers are irregular
+        (proteins smaller than K / fully-connected ablations).
     """
-    if canonical_receivers:
+    if canonical_receivers and not exact:
         batch, num_edges, dim = messages.shape
         k = num_edges // num_nodes
         return messages.reshape(batch, num_nodes, k, dim).sum(axis=2)
-    seg = jax.vmap(lambda m, r: jax.ops.segment_sum(m, r, num_segments=num_nodes))
+    # indices_are_sorted=True mirrors the reference call (gnn_layers.py:227-235)
+    # — it is an XLA hint and does not change the summed values.
+    seg = jax.vmap(
+        lambda m, r: jax.ops.segment_sum(
+            m, r, num_segments=num_nodes, indices_are_sorted=True
+        )
+    )
     return seg(messages, receivers)
 
 
@@ -74,6 +88,7 @@ def _message_layer(
     receivers: jax.Array,  # (B, E)
     nodes_mask: jax.Array,  # (B, N, 1)
     canonical_receivers: bool,
+    exact: bool,
 ) -> tuple[jax.Array, jax.Array]:
     dim = config.hidden_dimension
     batch, num_nodes, _ = node_feats.shape
@@ -100,7 +115,11 @@ def _message_layer(
     # Node update: aggregate incoming messages, normalize by the (static)
     # neighbor count, residual + masked LN, then a feed-forward block.
     agg = _aggregate(
-        messages_from(node_feats, node_mlp0), receivers, num_nodes, canonical_receivers
+        messages_from(node_feats, node_mlp0),
+        receivers,
+        num_nodes,
+        canonical_receivers,
+        exact,
     )
     if config.graph_max_neighbor > 0:
         agg = agg / config.graph_max_neighbor
@@ -134,6 +153,7 @@ def graph_neural_network(
     nodes_mask: jax.Array,
     *,
     canonical_receivers: bool = True,
+    exact: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Stack of message-passing layers; returns (node_feats, edge_feats).
 
@@ -154,6 +174,7 @@ def graph_neural_network(
             receivers,
             nodes_mask,
             canonical_receivers,
+            exact,
         )
     return node_feats, edge_feats
 

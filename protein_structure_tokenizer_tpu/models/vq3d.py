@@ -72,7 +72,12 @@ def _local_window_mask(seq_max: int, downsampling: int) -> jax.Array:
 
 
 def structure_encoder(
-    params: Params, cfg: Vq3dConfig, graph: ProteinGraphBatch, *, canonical_receivers: bool = True
+    params: Params,
+    cfg: Vq3dConfig,
+    graph: ProteinGraphBatch,
+    *,
+    canonical_receivers: bool = True,
+    exact_aggregation: bool = False,
 ):
     """Node/edge embeddings: purely positional node init, geometry via edges."""
     enc = cfg.encoder
@@ -99,6 +104,7 @@ def structure_encoder(
         graph.receivers,
         graph.nodes_mask,
         canonical_receivers=canonical_receivers,
+        exact=exact_aggregation,
     )
 
 
@@ -135,10 +141,15 @@ def encode(
     graph: ProteinGraphBatch,
     *,
     canonical_receivers: bool = True,
+    exact_aggregation: bool = False,
 ):
     """Graph -> (continuous embedding (B,T,D_codes), pre-projection (B,T,128))."""
     nodes_emb, _ = structure_encoder(
-        params, cfg, graph, canonical_receivers=canonical_receivers
+        params,
+        cfg,
+        graph,
+        canonical_receivers=canonical_receivers,
+        exact_aggregation=exact_aggregation,
     )
 
     attn_mask = _down_attention_mask(cfg, graph.nodes_mask, graph.tokens_mask)
@@ -208,9 +219,14 @@ def encode_and_quantize(
     compute_distances: bool = False,
     usage_reduce_axis: Optional[str] = None,
     canonical_receivers: bool = True,
+    exact_aggregation: bool = False,
 ):
     continuous, pre_proj = encode(
-        params, cfg, graph, canonical_receivers=canonical_receivers
+        params,
+        cfg,
+        graph,
+        canonical_receivers=canonical_receivers,
+        exact_aggregation=exact_aggregation,
     )
     _, out = quantize_embedding(
         params,
@@ -312,11 +328,16 @@ def forward(
     compute_distances: bool = False,
     usage_reduce_axis: Optional[str] = None,
     canonical_receivers: bool = True,
+    exact_aggregation: bool = False,
 ):
     """Full autoencoder pass -> (decoded_structure, quantizer_output)."""
     graph = batch.graph
     continuous, pre_proj = encode(
-        params, cfg, graph, canonical_receivers=canonical_receivers
+        params,
+        cfg,
+        graph,
+        canonical_receivers=canonical_receivers,
+        exact_aggregation=exact_aggregation,
     )
     quantized, out = quantize_embedding(
         params,

@@ -1,0 +1,123 @@
+"""Checkpoint loading/saving.
+
+Two formats:
+
+1. **Released InstaDeep format** (read-only): ``params.npz`` holds the flat
+   leaves in *pytree order* and ``state_variables.npy`` a pickled dict with the
+   params treedef (/root/reference/scripts/inference_runner.py:136-165,236-248).
+   Because haiku params are a dict-of-dicts, pytree order is simply sorted
+   scope keys then sorted leaf names — so we can reconstruct the tree from a
+   template of the expected parameter structure *without unpickling a foreign
+   PyTreeDef* (which may not deserialize across jax versions).  The
+   ``forward_vq3_d/`` scope prefix is stripped as the reference loader does.
+
+2. **Native format**: an .npz with explicit ``scope//name`` keys —
+   self-describing, no pickle, byte-stable across versions.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from protein_structure_tokenizer_tpu.utils.params import Params
+
+
+def strip_scope_prefix(params: Params, prefix: str = "forward_vq3_d/") -> Params:
+    out = {}
+    for scope, leaves in params.items():
+        if prefix in scope:
+            scope = scope.split(prefix, 1)[1]
+        out[scope] = leaves
+    return out
+
+
+def _template_leaf_order(template: Params):
+    """Flat leaf order of a two-level params dict under jax pytree rules
+    (sorted dict keys at each level)."""
+    order = []
+    for scope in sorted(template.keys()):
+        for name in sorted(template[scope].keys()):
+            order.append((scope, name))
+    return order
+
+
+def load_released_params(
+    model_dir: str, template: Params, *, scope_prefix: str = "forward_vq3_d/"
+) -> Params:
+    """Load a released HF checkpoint directory into our param tree.
+
+    Args:
+      model_dir: directory containing ``params.npz`` (+ optionally
+        ``state_variables.npy``, unused here — see module docstring).
+      template: a params tree with the expected structure (e.g. from
+        ``vq3d.init``); defines the leaf order and shape checks.
+    """
+    npz_path = os.path.join(model_dir, "params.npz")
+    with open(npz_path, "rb") as f:
+        uploaded = np.load(f)
+        arrays = [uploaded[name] for name in uploaded.files]
+
+    # The released tree's scopes carry the transform-level prefix; order is
+    # unaffected by a shared prefix on every key.
+    prefixed = {f"{scope_prefix}{scope}": leaves for scope, leaves in template.items()}
+    order = _template_leaf_order(prefixed)
+    if len(order) != len(arrays):
+        raise ValueError(
+            f"checkpoint has {len(arrays)} arrays but the model expects {len(order)}"
+        )
+    params: Params = {}
+    for (scope, name), arr in zip(order, arrays):
+        scope = scope.split(scope_prefix, 1)[1]
+        expected = template[scope][name]
+        if tuple(arr.shape) != tuple(expected.shape):
+            raise ValueError(
+                f"shape mismatch for {scope}:{name}: checkpoint {arr.shape} vs "
+                f"model {tuple(expected.shape)}"
+            )
+        params.setdefault(scope, {})[name] = arr
+    return params
+
+
+def load_released_params_with_treedef(model_dir: str) -> Params:
+    """Reference-faithful loader using the pickled treedef (may fail across
+    jax versions; kept for completeness/diagnostics)."""
+    import jax
+
+    info = np.load(
+        os.path.join(model_dir, "state_variables.npy"), allow_pickle=True
+    ).item()
+    with open(os.path.join(model_dir, "params.npz"), "rb") as f:
+        uploaded = np.load(f)
+        arrays = [np.asarray(uploaded[name]) for name in uploaded.files]
+    params = jax.tree_util.tree_unflatten(info["params_treedef"], arrays)
+    return strip_scope_prefix(params)
+
+
+# ---------------------------------------------------------------------------
+# Native format
+# ---------------------------------------------------------------------------
+
+
+def save_params(params: Params, path: str) -> None:
+    arrays: Dict[str, np.ndarray] = {}
+    for scope, leaves in params.items():
+        for name, arr in leaves.items():
+            arrays[f"{scope}//{name}"] = np.asarray(arr)
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays)
+    os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
+
+
+def load_params(path: str, template: Optional[Params] = None) -> Params:
+    data = np.load(path)
+    params: Params = {}
+    for key in data.files:
+        scope, name = key.split("//")
+        params.setdefault(scope, {})[name] = data[key]
+    if template is not None:
+        from protein_structure_tokenizer_tpu.utils.params import assert_compatible
+
+        assert_compatible(template, params)
+    return params

@@ -1,0 +1,98 @@
+"""Structure-module parity: bitwise equality of the full 8-iteration loop.
+
+The reference's FoldIteration (IPA + transitions + backbone update +
+sidechain) is run inside one haiku transform as an unrolled loop; our
+fold_iteration must reproduce every iteration's activations and affines
+bit-for-bit given the same parameters.  (The packaged ``structure_module``
+uses lax.scan, whose XLA fusion may differ by float ulps on ill-conditioned
+masked rows — covered by the e2e decode test instead.)
+"""
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+import jax.numpy as jnp
+
+from protein_structure_tokenizer_tpu.models.structure_module import (
+    StructureModuleConfig,
+    fold_iteration,
+    invariant_point_attention,
+)
+from protein_structure_tokenizer_tpu.geometry.rigid import QuatRigid
+from protein_structure_tokenizer_tpu.models.layers import af2_linear, layer_norm
+from protein_structure_tokenizer_tpu.utils.params import subtree
+
+
+@requires_reference
+def test_fold_loop_bitwise():
+    from refmodel import import_reference, load_reference_config
+
+    import_reference()
+    import haiku as hk
+    import jax
+
+    jax.lax.pmean = lambda x, axis_name=None: x
+    cfg = load_reference_config(4096, 1)
+    from structure_tokenizer.model import common_modules, prng
+    from structure_tokenizer.model.folding import FoldIteration, generate_new_affine
+
+    rng = np.random.RandomState(0)
+    n = 48
+    si = rng.randn(n, 128).astype(np.float32)
+    zij = rng.randn(n, n, 128).astype(np.float32)
+    mask = (np.arange(n) < 40).astype(np.float32)[:, None]
+    smc = cfg.model.model.structure_module
+
+    def loop_fn(si, zij, mask):
+        act = hk.LayerNorm(
+            axis=[-1], create_scale=True, create_offset=True, name="single_layer_norm"
+        )(si)
+        initial_act = act
+        act = common_modules.Linear(smc.num_channel, name="initial_projection")(act)
+        act2d = hk.LayerNorm(
+            axis=[-1], create_scale=True, create_offset=True, name="pair_layer_norm"
+        )(zij)
+        affine = generate_new_affine(mask)
+        mod = FoldIteration(smc, cfg.data, name="fold_iteration")
+        activations = {"act": act, "affine": affine.to_tensor()}
+        acts, outs = [], []
+        key = prng.SafeKey(hk.next_rng_key())
+        for _ in range(8):
+            key, sub = key.split()
+            activations, out = mod(activations, mask, True, initial_act, sub, act2d)
+            acts.append(activations["act"])
+            outs.append(out["affine"])
+        return jnp.stack(acts), jnp.stack(outs)
+
+    f = hk.transform(loop_fn)
+    params = f.init(jax.random.PRNGKey(0), si, zij, mask)
+    ref_acts, ref_outs = f.apply(params, jax.random.PRNGKey(0), si, zij, mask)
+
+    smcfg = StructureModuleConfig()
+    act = layer_norm(params["single_layer_norm"], jnp.asarray(si)[None])
+    initial_act = act
+    act = af2_linear(params["initial_projection"], act)
+    act2d = layer_norm(params["pair_layer_norm"], jnp.asarray(zij)[None])
+    affine = QuatRigid.identity((1, n))
+    activations = {"act": act, "affine": affine.to_tensor()}
+    fold_params = subtree(params, "fold_iteration")
+    for layer in range(8):
+        activations, out = fold_iteration(
+            fold_params,
+            smcfg,
+            activations,
+            jnp.asarray(mask)[None],
+            initial_act,
+            act2d,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(activations["act"])[0],
+            np.asarray(ref_acts[layer]),
+            err_msg=f"act mismatch at iteration {layer}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["affine"])[0],
+            np.asarray(ref_outs[layer]),
+            err_msg=f"affine mismatch at iteration {layer}",
+        )
