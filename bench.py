@@ -1,0 +1,161 @@
+"""Benchmark: residues/sec/chip tokenizing the CASP14 corpus.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the *reference implementation* (pmap/haiku,
+/root/reference) executing the same workload on the same hardware; the
+reference number is measured once and cached in bench_baseline.json.
+"""
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+sys.path.insert(0, os.path.join(REPO_ROOT, "tests", "refsupport"))
+
+CASP14_DIR = "/root/reference/casp14_pdbs"
+BASELINE_CACHE = os.path.join(REPO_ROOT, "bench_baseline.json")
+BATCH = 32
+TIMED_ITERS = 5
+
+
+def featurize_corpus():
+    from protein_structure_tokenizer_tpu.data.featurize import make_graph_from_pdb
+    from protein_structure_tokenizer_tpu.runtime.runner import collate_graphs
+    import dataclasses
+
+    paths = sorted(glob.glob(os.path.join(CASP14_DIR, "*.pdb")))
+    graphs, kept = [], []
+    for p in paths:
+        try:
+            graphs.append(dataclasses.asdict(make_graph_from_pdb(p)))
+            kept.append(p)
+        except NotImplementedError:
+            continue
+    while len(graphs) < BATCH:
+        graphs.append(graphs[len(graphs) % len(kept)])
+    graphs = graphs[:BATCH]
+    batch = collate_graphs(graphs)
+    valid_residues = int(np.asarray(batch.nodes_mask).sum())
+    return batch, valid_residues
+
+
+def bench_ours(batch, valid_residues):
+    import jax
+
+    from protein_structure_tokenizer_tpu.models import vq3d
+    from protein_structure_tokenizer_tpu.models.config import preset
+    from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+    from protein_structure_tokenizer_tpu.runtime.runner import InferenceRunner
+
+    cfg = preset(4096, 1)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    n_chips = len(jax.devices())
+    runner = InferenceRunner(cfg, params, mesh_lib.make_mesh())
+
+    device_batch = mesh_lib.shard_batch(runner.mesh, batch)
+    # Compile + warmup; fetch to host — on the tunneled backend only a host
+    # fetch reliably waits for completion.
+    np.asarray(runner.tokenize_fn(runner.params, device_batch)["tokens"])
+
+    # Keep TIMED_ITERS dispatches in flight, then force a host fetch of every
+    # result: on the tunneled TPU backend block_until_ready alone returns
+    # early, so fetching the bytes is the only honest completion barrier.
+    start = time.perf_counter()
+    outs = [runner.tokenize_fn(runner.params, device_batch) for _ in range(TIMED_ITERS)]
+    for o in outs:
+        np.asarray(o["tokens"])
+    elapsed = time.perf_counter() - start
+    residues_per_sec = valid_residues * TIMED_ITERS / elapsed
+    return residues_per_sec / n_chips, n_chips
+
+
+def bench_reference(batch, valid_residues):
+    """Measure the reference pmap pipeline on the same device; cached."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["reference_residues_per_sec_per_chip"]
+    try:
+        from refmodel import import_reference, load_reference_config
+
+        import_reference()
+        import haiku as hk
+        import jax
+        import jax.numpy as jnp
+
+        cfg = load_reference_config(4096, 1)
+        from structure_tokenizer.model.model import Vq3D
+        from structure_tokenizer.types import ProteinGraph
+
+        devices = jax.devices()[:1]
+
+        def fn(graph):
+            return Vq3D(config=cfg.model, global_config=cfg.data).encode_and_quantize(
+                graph, is_training=False
+            )
+
+        transformed = hk.transform(fn)
+        apply = jax.pmap(transformed.apply, devices=devices, axis_name="p")
+
+        graph = ProteinGraph(
+            n_node=np.asarray(batch.n_node)[None],
+            n_edge=np.asarray(batch.n_edge)[None],
+            nodes_mask=np.asarray(batch.nodes_mask)[None],
+            nodes_original_coordinates=np.asarray(batch.nodes_original_coordinates)[None],
+            node_features=np.asarray(batch.node_features)[None],
+            edge_features=np.asarray(batch.edge_features)[None],
+            tokens_mask=np.asarray(batch.tokens_mask)[None],
+            senders=np.asarray(batch.senders)[None],
+            receivers=np.asarray(batch.receivers)[None],
+        )
+        key = jax.random.PRNGKey(0)
+        single = jax.tree_util.tree_map(lambda x: jnp.asarray(x[:, :1]), graph)
+        pmean_orig = jax.lax.pmean
+        jax.lax.pmean = lambda x, axis_name=None: x  # init traces outside pmap
+        try:
+            params = transformed.init(key, jax.tree_util.tree_map(lambda x: x[0], single))
+        finally:
+            jax.lax.pmean = pmean_orig
+        params = jax.device_put_replicated(params, devices)
+        keys = jax.random.split(key, len(devices))
+
+        out = apply(params, keys, graph)
+        np.asarray(out["tokens"])
+        start = time.perf_counter()
+        outs = [apply(params, keys, graph) for _ in range(TIMED_ITERS)]
+        for o in outs:
+            np.asarray(o["tokens"])
+        elapsed = time.perf_counter() - start
+        ref_rps = valid_residues * TIMED_ITERS / elapsed
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"reference_residues_per_sec_per_chip": ref_rps}, f)
+        return ref_rps
+    except Exception as e:  # reference may not run on this jax version/backend
+        print(f"# reference baseline unavailable: {type(e).__name__}: {e}", file=sys.stderr)
+        return None
+
+
+def main():
+    batch, valid_residues = featurize_corpus()
+    ours, n_chips = bench_ours(batch, valid_residues)
+    ref = bench_reference(batch, valid_residues)
+    vs_baseline = (ours / ref) if ref else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "casp14_tokenize_residues_per_sec_per_chip",
+                "value": round(ours, 2),
+                "unit": "residues/s/chip",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -98,8 +98,15 @@ def frame_aligned_point_error(
     epsilon: float = 1e-4,
 ) -> jax.Array:
     """FAPE: mean clamped distance error of points expressed in every frame."""
-    local_pred = pred_frames.inverse().apply(pred_positions[..., None, :, :])
-    local_target = target_frames.inverse().apply(target_positions[..., None, :, :])
+
+    def to_local(frames: Rigid, positions: jax.Array) -> jax.Array:
+        inv = frames.inverse()
+        # (..., F, 1, 3, 3|3) frames against (..., 1, P, 3) points.
+        expanded = Rigid(rot=inv.rot[..., :, None, :, :], trans=inv.trans[..., :, None, :])
+        return expanded.apply(positions[..., None, :, :])
+
+    local_pred = to_local(pred_frames, pred_positions)
+    local_target = to_local(target_frames, target_positions)
 
     error_dist = jnp.sqrt(
         jnp.sum(jnp.square(local_pred - local_target), axis=-1) + epsilon

@@ -1,0 +1,96 @@
+"""Training driver: data-parallel autoencoder training over a device mesh.
+
+The reference releases losses but no optimizer loop (SURVEY.md §3.4); this
+module completes the stack: an optax-based train step jitted over the 1-D
+``data`` mesh — batch sharded, parameters/optimizer state replicated,
+gradient reduction handled by jit's global-view semantics (psum over ICI).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from protein_structure_tokenizer_tpu.data.types import TokenizerBatch
+from protein_structure_tokenizer_tpu.models import vq3d
+from protein_structure_tokenizer_tpu.models.config import Vq3dConfig
+from protein_structure_tokenizer_tpu.models.losses import LossConfig, structure_loss
+from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+from protein_structure_tokenizer_tpu.utils.params import Params
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.0
+    grad_clip_norm: Optional[float] = 1.0
+    loss: LossConfig = LossConfig()
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    chain = []
+    if cfg.grad_clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    chain.append(optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay))
+    return optax.chain(*chain)
+
+
+def loss_fn(
+    params: Params,
+    model_cfg: Vq3dConfig,
+    train_cfg: TrainConfig,
+    batch: TokenizerBatch,
+    rng: jax.Array,
+):
+    decoded, quant = vq3d.forward(
+        params, model_cfg, batch, is_training=True, compute_usage=True
+    )
+    losses = structure_loss(
+        train_cfg.loss, decoded, batch.features, batch.graph.nodes_mask, rng
+    )
+    metrics = {
+        "loss": losses["loss"],
+        "backbone_fape": losses["backbone_fape"],
+        "sidechain_fape": losses["sidechain_fape"],
+    }
+    if "perplexity" in quant:
+        metrics["codebook_perplexity"] = quant["perplexity"]
+    return losses["loss"], metrics
+
+
+def make_train_step(model_cfg: Vq3dConfig, train_cfg: TrainConfig, mesh):
+    """Build the jitted sharded train step: (params, opt_state, batch, rng)
+    -> (params, opt_state, metrics)."""
+    optimizer = make_optimizer(train_cfg)
+    replicated = mesh_lib.replicated_sharding(mesh)
+    batch_shard = mesh_lib.batch_sharding(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(replicated, replicated, batch_shard, replicated),
+        out_shardings=(replicated, replicated, replicated),
+        donate_argnums=(0, 1),
+    )
+    def train_step(params, opt_state, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(params, model_cfg, train_cfg, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step, optimizer
+
+
+def init_train_state(
+    key: jax.Array, model_cfg: Vq3dConfig, train_cfg: TrainConfig, mesh
+) -> Tuple[Params, optax.OptState]:
+    params = vq3d.init(key, model_cfg)
+    optimizer = make_optimizer(train_cfg)
+    opt_state = optimizer.init(params)
+    params = mesh_lib.replicate(mesh, params)
+    opt_state = mesh_lib.replicate(mesh, opt_state)
+    return params, opt_state

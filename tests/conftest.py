@@ -3,12 +3,24 @@ import sys
 
 # Simulate an 8-device mesh on CPU for all tests (sharding/jit topology is
 # device-count generic; the real TPU path is exercised by bench.py).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# NOTE: importing pytest in this environment already imports jax, and jax
+# snapshots JAX_PLATFORMS at import time — so use jax.config (valid until the
+# backend is first used) rather than os.environ.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except AttributeError:  # older jax: XLA_FLAGS fallback above applies
+    pass
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 for path in (REPO_ROOT, os.path.join(REPO_ROOT, "tests", "refsupport")):

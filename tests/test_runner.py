@@ -1,0 +1,75 @@
+"""Runner integration tests on an 8-virtual-device CPU mesh."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from protein_structure_tokenizer_tpu.models import vq3d
+from protein_structure_tokenizer_tpu.models.config import preset
+from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+from protein_structure_tokenizer_tpu.runtime.runner import (
+    InferenceRunner,
+    build_nodes_mask_from_tokens_mask,
+    build_tokens_mask_from_sequence,
+)
+
+CASP14 = sorted(glob.glob("/root/reference/casp14_pdbs/*.pdb"))
+
+
+def test_mesh_has_eight_devices():
+    mesh = mesh_lib.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_masks_from_token_sequences():
+    tokens = np.array([[5, 7, 9, 4097, 4097], [1, 4097, 2, 3, 4097]])
+    tm = build_tokens_mask_from_sequence(tokens, 4097)
+    np.testing.assert_array_equal(tm, [[1, 1, 1, 0, 0], [1, 0, 0, 0, 0]])
+    nm = build_nodes_mask_from_tokens_mask(tm, 2)
+    assert nm.shape == (2, 10)
+    np.testing.assert_array_equal(nm.sum(axis=-1), [6, 2])
+
+
+@pytest.mark.skipif(not CASP14, reason="CASP14 corpus not mounted")
+def test_tokenize_decode_roundtrip(tmp_path):
+    cfg = preset(4096, 1)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    runner = InferenceRunner(cfg, params)
+
+    pdbs = CASP14[:2]
+    tokens = runner.tokenize(
+        pdbs, str(tmp_path / "tokens"), batch_size_per_device=1
+    )
+    assert len(tokens) == 2
+    for name, arr in tokens.items():
+        assert arr.ndim == 2 and arr.shape[0] == 1
+        assert arr.shape[1] > 50  # real token count, unpadded
+        assert arr.dtype == np.uint32
+        assert os.path.exists(tmp_path / "tokens" / f"{name}_tokens.npy")
+
+    token_files = sorted(glob.glob(str(tmp_path / "tokens" / "*.npy")))
+    structures = runner.decode_tokens(
+        token_files, str(tmp_path / "structs"), batch_size_per_device=1
+    )
+    assert len(structures) == 2
+    for name, prot in structures.items():
+        # Backbone-only reconstruction: N, CA, C, O present per residue.
+        assert prot.atom_positions.shape[1] == 37
+        assert np.isfinite(prot.atom_positions[prot.atom_mask.astype(bool)]).all()
+        assert prot.atom_mask[:, :3].all() and prot.atom_mask[:, 4].all()
+        pdb_file = tmp_path / "structs" / "structures" / f"structure_{name}.pdb"
+        assert pdb_file.exists()
+        text = pdb_file.read_text()
+        assert text.startswith("MODEL") and "ATOM" in text
+
+    # Token counts correspond to residue counts (df=1).
+    from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
+
+    for path in pdbs:
+        name = os.path.basename(path).split(".pdb")[0]
+        n_res = parse_pdb_file(path).nb_residues
+        assert tokens[name].shape[1] == n_res
+        assert len(structures[name].aatype) == n_res
