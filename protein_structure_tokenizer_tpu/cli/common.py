@@ -1,0 +1,66 @@
+"""Shared CLI plumbing."""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+
+from protein_structure_tokenizer_tpu.models import vq3d
+from protein_structure_tokenizer_tpu.models.config import preset
+from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+from protein_structure_tokenizer_tpu.runtime import checkpoints
+from protein_structure_tokenizer_tpu.runtime.runner import InferenceRunner
+
+logger = logging.getLogger(__name__)
+
+CODEBOOK_CHOICES = [432, 1728, 4096, 64000]
+
+
+def add_model_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--codebook_size", type=int, default=4096, choices=CODEBOOK_CHOICES)
+    parser.add_argument("--model_downsampling", type=int, default=1, choices=[1, 2, 4])
+    parser.add_argument(
+        "--weights",
+        type=str,
+        default=None,
+        help="Directory with released params.npz (+ state_variables.npy). "
+        "Omitted: randomly initialized weights (smoke runs only).",
+    )
+    parser.add_argument("--batch_size_per_device", type=int, default=16)
+    parser.add_argument(
+        "--backend",
+        type=str,
+        default=None,
+        choices=["cpu", "gpu", "tpu", None],
+        help="Device platform; defaults to the JAX default backend.",
+    )
+    parser.add_argument(
+        "--exact",
+        action="store_true",
+        help="Bit-exact (reference-order) message aggregation instead of the "
+        "TPU-fast path.",
+    )
+
+
+def build_runner(args) -> InferenceRunner:
+    mesh_lib.initialize_distributed()
+    cfg = preset(args.codebook_size, args.model_downsampling)
+    template = vq3d.init(jax.random.PRNGKey(0), cfg)
+    if args.weights:
+        params = checkpoints.load_released_params(args.weights, template)
+        logger.info("loaded released weights from %s", args.weights)
+    else:
+        params = template
+        logger.warning("no --weights given: using RANDOM weights (smoke mode)")
+    devices = jax.devices(args.backend) if args.backend else jax.devices()
+    mesh = mesh_lib.make_mesh(devices)
+    return InferenceRunner(cfg, params, mesh, exact_aggregation=args.exact)
+
+
+def setup_logging() -> None:
+    logging.basicConfig(
+        level=os.environ.get("LOG_LEVEL", "INFO"),
+        format="%(asctime)s %(process)d %(name)s %(levelname)s: %(message)s",
+    )

@@ -1,0 +1,104 @@
+"""Sample novel structure-token sequences from the GPT LM.
+
+Counterpart of /root/reference/scripts/gpt_generation.py:56-295, with
+KV-cached O(L) steps instead of full-forward O(L^2) per token.
+
+Usage:
+  python -m protein_structure_tokenizer_tpu.cli.gpt_generation \
+      --sequence_save_path out --codebook_size 4096 \
+      --params_path weights/gpt_4k_df_1/params.joblib --num_sequences 64
+"""
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+from protein_structure_tokenizer_tpu.cli.common import CODEBOOK_CHOICES, setup_logging
+from protein_structure_tokenizer_tpu.lm import gpt, sampling
+
+logger = logging.getLogger(__name__)
+
+
+def load_gpt_params(path: str):
+    """Released GPT weights: a single joblib pickle of haiku params."""
+    import joblib
+
+    return joblib.load(path)
+
+
+def main(argv=None) -> None:
+    setup_logging()
+    parser = argparse.ArgumentParser(description="Generate token sequences")
+    parser.add_argument("--sequence_save_path", type=str, required=True)
+    parser.add_argument("--codebook_size", type=int, default=4096, choices=CODEBOOK_CHOICES)
+    parser.add_argument("--model_downsampling", type=int, default=1, choices=[1, 2])
+    parser.add_argument("--batch_size_per_device", type=int, default=8)
+    parser.add_argument("--params_path", type=str, default=None)
+    parser.add_argument("--sampling_method", type=str, default="temperature",
+                        choices=["temperature", "top_k", "top_p"])
+    parser.add_argument("--sampling_temp", type=float, default=0.6)
+    parser.add_argument("--top_k", type=int, default=4)
+    parser.add_argument("--top_p", type=float, default=0.15)
+    parser.add_argument("--num_sequences", type=int, default=128)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no_cache", action="store_true",
+                        help="reference-equivalent full-forward sampling")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    cfg = gpt.released_gpt_config(args.codebook_size)
+
+    if args.params_path:
+        params = load_gpt_params(args.params_path)
+        logger.info("loaded GPT weights from %s", args.params_path)
+    else:
+        params = gpt.init(jax.random.PRNGKey(args.seed), cfg)
+        logger.warning("no --params_path: using RANDOM weights (smoke mode)")
+
+    seq_dir = os.path.join(args.sequence_save_path, "seqs")
+    os.makedirs(seq_dir, exist_ok=True)
+
+    kwargs = {"temperature": args.sampling_temp}
+    if args.sampling_method == "top_k":
+        kwargs["k"] = args.top_k
+    elif args.sampling_method == "top_p":
+        kwargs["top_p"] = args.top_p
+
+    key = jax.random.PRNGKey(args.seed)
+    key, _ = jax.random.split(key)
+    batch = args.batch_size_per_device * jax.device_count()
+    num_iterations = max(1, args.num_sequences // batch)
+    sampling_keys = jax.random.split(key, num=num_iterations)
+
+    start = time.time()
+    all_sequences = []
+    for i in range(num_iterations):
+        tokens = sampling.generate(
+            params,
+            cfg,
+            sampling_keys[i],
+            batch_size=batch,
+            num_tokens=cfg.max_position_embeddings,
+            method=args.sampling_method,
+            use_cache=not args.no_cache,
+            **kwargs,
+        )
+        all_sequences.append(np.asarray(tokens))
+    sequences = np.concatenate(all_sequences, axis=0)
+
+    for seq_id in range(sequences.shape[0]):
+        seq = sampling.strip_special_tokens(
+            sequences[seq_id], cfg.bos_token_id, cfg.eos_token_id
+        )
+        np.save(os.path.join(seq_dir, f"tokens_{seq_id}.npy"), seq)
+
+    logger.info(
+        "generated %d sequences in %.1fs", sequences.shape[0], time.time() - start
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,328 @@
+"""RoPE GPT decoder over structure tokens.
+
+Functional re-implementation of the reference LM
+(/root/reference/scripts/lm/gpt_model.py:34-339, gpt_layer.py:80-613) with:
+
+  * parameter scopes byte-identical to the released joblib checkpoints
+    (``gpt_decoder/gpt_decoder_layer_{i}/~/...``), so GPT weights load
+    without renaming;
+  * the generation-time architecture knobs baked in the reference CLI
+    (layer-norm pre-norm, sequential attention+FFN, no dropout;
+    gpt_generation.py:147-151) as defaults;
+  * a **KV cache** for O(L^2) total generation — the reference re-runs the
+    full O(L^2)-per-step forward with no cache (gpt_layer.py:272-275); a
+    cacheless mode is kept for equivalence testing.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from protein_structure_tokenizer_tpu.models.layers import layer_norm, linear, rms_norm
+from protein_structure_tokenizer_tpu.utils.params import Params, subtree
+from protein_structure_tokenizer_tpu.models.init import variance_scaling_truncated_fan_in
+
+
+@dataclasses.dataclass(frozen=True)
+class GptConfig:
+    vocab_size: int
+    embed_dim: int = 1024
+    ffn_embed_dim: int = 4096
+    num_heads: int = 16
+    num_layers: int = 20
+    rope_dimensions: Optional[int] = 8
+    max_position_embeddings: int = 514
+    ffn_activation: str = "swish"
+    use_glu_in_ffn: bool = True
+    norm_type: str = "layer_norm"  # released generation config
+    parallel_attention_ff: bool = False
+    add_bias_ffn: bool = False
+    add_bias_attn: bool = False
+    add_bias_lm_head: bool = False
+    # token ids
+    bos_token_id: int = 0
+    eos_token_id: int = 1
+    pad_token_id: int = 2
+
+    @property
+    def key_size(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+def released_gpt_config(codebook_size: int) -> GptConfig:
+    """The released GPT variants: vocab = codebook + bos/eos/pad
+    (config/lm/model/gpt_*_df_1.yaml)."""
+    return GptConfig(
+        vocab_size=codebook_size + 3,
+        bos_token_id=codebook_size,
+        eos_token_id=codebook_size + 1,
+        pad_token_id=codebook_size + 2,
+        max_position_embeddings=514,
+    )
+
+
+def _activation(name: str):
+    return {
+        "swish": jax.nn.swish,
+        "silu": jax.nn.silu,
+        "gelu": jax.nn.gelu,
+        "gelu-no-approx": lambda x: jax.nn.gelu(x, approximate=False),
+        "relu": jax.nn.relu,
+        "sin": jnp.sin,
+    }[name]
+
+
+def rope_sincos_table(num_pos: int, dim: int) -> np.ndarray:
+    """(num_pos, dim): first half sines, second half cosines (GPT-J layout)."""
+    inv_freq = 1.0 / (10000 ** (np.arange(0, dim, 2) / dim))
+    angles = np.einsum("i,j->ij", np.arange(num_pos), inv_freq)
+    sentinel = dim // 2 + dim % 2
+    table = np.zeros((num_pos, dim), dtype=np.float32)
+    table[:, :sentinel] = np.sin(angles)
+    table[:, sentinel:] = np.cos(angles)
+    return table
+
+
+def _rotate_every_two(x: jax.Array) -> jax.Array:
+    rotated = jnp.stack([-x[..., 1::2], x[..., ::2]], axis=-1)
+    return rotated.reshape(rotated.shape[:-2] + (-1,))
+
+
+def apply_rope(x: jax.Array, sincos: Tuple[jax.Array, jax.Array]) -> jax.Array:
+    """x (B, T, H, rot_dim); sincos = (sin (B,T,d/2), cos (B,T,d/2))."""
+    sin, cos = sincos
+    sin = jnp.repeat(sin[:, :, None, :], 2, axis=3)
+    cos = jnp.repeat(cos[:, :, None, :], 2, axis=3)
+    return x * cos + _rotate_every_two(x) * sin
+
+
+def _norm(p: Params, cfg: GptConfig, name: str, x: jax.Array) -> jax.Array:
+    if cfg.norm_type == "layer_norm":
+        return layer_norm(p[f"{name}_layer_norm"], x)
+    return rms_norm(p[f"{name}_RMS_norm"], x)
+
+
+def attention(
+    p: Params,
+    cfg: GptConfig,
+    x: jax.Array,  # (B, T, C)
+    attention_mask: jax.Array,  # broadcastable to (B, H, Tq, Tk)
+    kv_cache: Optional[dict] = None,
+    cache_index: Optional[jax.Array] = None,
+) -> tuple[jax.Array, Optional[dict]]:
+    batch, t, _ = x.shape
+    h, k_size = cfg.num_heads, cfg.key_size
+    rot = cfg.rope_dimensions or k_size
+
+    keys = linear(p["key_linear"], x).reshape(batch, t, h, k_size)
+    queries = linear(p["query_linear"], x).reshape(batch, t, h, k_size)
+    values = linear(p["value_linear"], x).reshape(batch, t, h, k_size)
+
+    positions = jnp.arange(t)[None]
+    if cache_index is not None:
+        positions = positions + cache_index
+    table = jnp.asarray(rope_sincos_table(cfg.max_position_embeddings, rot))
+    sincos = jnp.take(table, positions, axis=0)  # (B|1, T, rot)
+    sincos = jnp.broadcast_to(sincos, (batch, t, rot))
+    sin, cos = jnp.split(sincos, 2, axis=-1)
+
+    k_rot = apply_rope(keys[..., :rot], (sin, cos))
+    q_rot = apply_rope(queries[..., :rot], (sin, cos))
+    keys = jnp.concatenate([k_rot, keys[..., rot:]], axis=-1)
+    queries = jnp.concatenate([q_rot, queries[..., rot:]], axis=-1)
+
+    if kv_cache is not None:
+        # Insert this step's keys/values at cache_index and attend to the cache.
+        keys = _cache_update(kv_cache["k"], keys, cache_index)
+        values = _cache_update(kv_cache["v"], values, cache_index)
+        kv_cache = {"k": keys, "v": values}
+
+    logits = jnp.einsum("...thd,...Thd->...htT", queries, keys)
+    logits = logits / jnp.sqrt(keys.shape[-1]).astype(queries.dtype)
+    logits = jnp.where(attention_mask, logits, -1e30)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("...htT,...Thd->...thd", weights, values)
+    out = out.reshape(batch, t, -1)
+    return linear(p["out_linear"], out), kv_cache
+
+
+def _cache_update(cache: jax.Array, new: jax.Array, index: jax.Array) -> jax.Array:
+    """Write `new` (B, t, H, D) into `cache` (B, T, H, D) at position `index`."""
+    return jax.lax.dynamic_update_slice(
+        cache, new.astype(cache.dtype), (0, index.astype(jnp.int32), 0, 0)
+    )
+
+
+def decoder_layer(
+    p: Params,
+    cfg: GptConfig,
+    x: jax.Array,
+    attention_mask: jax.Array,
+    kv_cache: Optional[dict] = None,
+    cache_index: Optional[jax.Array] = None,
+) -> tuple[jax.Array, Optional[dict]]:
+    act = _activation(cfg.ffn_activation)
+
+    def mlp(h):
+        if cfg.use_glu_in_ffn:
+            x1, x2 = jnp.split(linear(p["fc1_linear_glu"], h), 2, axis=-1)
+            h = act(x1) * x2
+        else:
+            h = act(linear(p["fc1_linear"], h))
+        return linear(p["fc2_linear"], h)
+
+    if cfg.parallel_attention_ff:
+        normed = _norm(p, cfg, "attn", x)
+        attn_out, kv_cache = attention(
+            subtree(p, "self_attn/~"), cfg, normed, attention_mask, kv_cache, cache_index
+        )
+        return x + attn_out + mlp(normed), kv_cache
+
+    normed = _norm(p, cfg, "attn", x)
+    attn_out, kv_cache = attention(
+        subtree(p, "self_attn/~"), cfg, normed, attention_mask, kv_cache, cache_index
+    )
+    x = x + attn_out
+    x = x + mlp(_norm(p, cfg, "ffn", x))
+    return x, kv_cache
+
+
+def build_causal_mask(batch: int, seq_len: int) -> jax.Array:
+    return jnp.tril(jnp.ones((1, 1, seq_len, seq_len), bool))
+
+
+def forward(
+    params: Params,
+    cfg: GptConfig,
+    token_ids: jax.Array,  # (B, T)
+    attention_mask: Optional[jax.Array] = None,
+) -> dict:
+    """Full non-cached forward — numerically equivalent to the reference."""
+    p = subtree(params, "gpt_decoder")
+    x = jnp.take(p["~/token_embed"]["embeddings"], token_ids, axis=0)
+    if attention_mask is None:
+        attention_mask = build_causal_mask(1, x.shape[1])
+    for i in range(cfg.num_layers):
+        x, _ = decoder_layer(
+            subtree(p, f"gpt_decoder_layer_{i}/~"), cfg, x, attention_mask
+        )
+    if cfg.norm_type == "layer_norm":
+        x = layer_norm(p["~/final_layer_norm"], x)
+    else:
+        x = rms_norm(p["~/final_RMS_norm"], x)
+    logits = linear(p["~/simple_lm_head/~/lm_final_fc"], x)
+    return {"embeddings": x, "logits": logits}
+
+
+# ---------------------------------------------------------------------------
+# KV-cache incremental decoding
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: GptConfig, batch: int, max_len: int) -> list:
+    shape = (batch, max_len, cfg.num_heads, cfg.key_size)
+    return [
+        {"k": jnp.zeros(shape, jnp.float32), "v": jnp.zeros(shape, jnp.float32)}
+        for _ in range(cfg.num_layers)
+    ]
+
+
+def forward_step(
+    params: Params,
+    cfg: GptConfig,
+    token_ids: jax.Array,  # (B, 1) current step's token
+    cache: list,
+    cache_index: jax.Array,  # scalar int: number of tokens already cached
+) -> tuple[jax.Array, list]:
+    """One incremental step; returns (logits (B, vocab), updated cache)."""
+    p = subtree(params, "gpt_decoder")
+    x = jnp.take(p["~/token_embed"]["embeddings"], token_ids, axis=0)
+    batch, t = token_ids.shape
+    max_len = cache[0]["k"].shape[1]
+    # Attend to all cached positions <= cache_index.
+    key_pos = jnp.arange(max_len)[None, None, None, :]
+    attention_mask = key_pos <= cache_index
+
+    new_cache = []
+    for i in range(cfg.num_layers):
+        x, layer_cache = decoder_layer(
+            subtree(p, f"gpt_decoder_layer_{i}/~"),
+            cfg,
+            x,
+            attention_mask,
+            kv_cache=cache[i],
+            cache_index=cache_index,
+        )
+        new_cache.append(layer_cache)
+    if cfg.norm_type == "layer_norm":
+        x = layer_norm(p["~/final_layer_norm"], x)
+    else:
+        x = rms_norm(p["~/final_RMS_norm"], x)
+    logits = linear(p["~/simple_lm_head/~/lm_final_fc"], x)
+    return logits[:, -1], new_cache
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init(key, cfg: GptConfig) -> Params:
+    params: Params = {}
+    ks = jax.random.split(key, cfg.num_layers + 2)
+    params["gpt_decoder/~/token_embed"] = {
+        "embeddings": jax.random.truncated_normal(
+            ks[0], -2, 2, (cfg.vocab_size, cfg.embed_dim), jnp.float32
+        )
+        * 0.02
+    }
+    ffn_out = 2 * cfg.ffn_embed_dim if cfg.use_glu_in_ffn else cfg.ffn_embed_dim
+    fc1_name = "fc1_linear_glu" if cfg.use_glu_in_ffn else "fc1_linear"
+    for i in range(cfg.num_layers):
+        kq, kk, kv, ko, k1, k2 = jax.random.split(ks[i + 1], 6)
+        base = f"gpt_decoder/gpt_decoder_layer_{i}/~"
+        for name, kk_ in (
+            ("query_linear", kq),
+            ("key_linear", kk),
+            ("value_linear", kv),
+            ("out_linear", ko),
+        ):
+            params[f"{base}/self_attn/~/{name}"] = {
+                "w": variance_scaling_truncated_fan_in(kk_, (cfg.embed_dim, cfg.embed_dim))
+            }
+        params[f"{base}/{fc1_name}"] = {
+            "w": variance_scaling_truncated_fan_in(k1, (cfg.embed_dim, ffn_out))
+        }
+        params[f"{base}/fc2_linear"] = {
+            "w": variance_scaling_truncated_fan_in(k2, (cfg.ffn_embed_dim, cfg.embed_dim))
+        }
+        if cfg.norm_type == "layer_norm":
+            params[f"{base}/attn_layer_norm"] = {
+                "scale": jnp.ones((cfg.embed_dim,)),
+                "offset": jnp.zeros((cfg.embed_dim,)),
+            }
+            if not cfg.parallel_attention_ff:
+                params[f"{base}/ffn_layer_norm"] = {
+                    "scale": jnp.ones((cfg.embed_dim,)),
+                    "offset": jnp.zeros((cfg.embed_dim,)),
+                }
+        else:
+            params[f"{base}/attn_RMS_norm"] = {"scale": jnp.ones((cfg.embed_dim,))}
+            if not cfg.parallel_attention_ff:
+                params[f"{base}/ffn_RMS_norm"] = {"scale": jnp.ones((cfg.embed_dim,))}
+    if cfg.norm_type == "layer_norm":
+        params["gpt_decoder/~/final_layer_norm"] = {
+            "scale": jnp.ones((cfg.embed_dim,)),
+            "offset": jnp.zeros((cfg.embed_dim,)),
+        }
+    else:
+        params["gpt_decoder/~/final_RMS_norm"] = {"scale": jnp.ones((cfg.embed_dim,))}
+    head = {"w": variance_scaling_truncated_fan_in(ks[-1], (cfg.embed_dim, cfg.vocab_size))}
+    if cfg.add_bias_lm_head:
+        head["b"] = jnp.zeros((cfg.vocab_size,))
+    params["gpt_decoder/~/simple_lm_head/~/lm_final_fc"] = head
+    return params

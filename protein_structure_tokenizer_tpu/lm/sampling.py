@@ -1,0 +1,133 @@
+"""Token-sequence generation: temperature / top-k / top-p sampling.
+
+Two engines:
+
+  * ``generate(..., use_cache=True)`` — KV-cache incremental decoding under a
+    single jitted ``lax.scan``: O(L) per step instead of the reference's
+    full-block O(L^2) re-forward per step (generation_utils.py:26-190).
+  * ``use_cache=False`` — the reference's exact full-forward recipe, kept for
+    distribution-equivalence testing.
+
+Sampling formulas and PRNG key discipline replicate the reference exactly, so
+given identical logits both engines sample identical tokens.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from protein_structure_tokenizer_tpu.lm import gpt
+from protein_structure_tokenizer_tpu.utils.params import Params
+
+
+def sample_temperature(key, logits, temperature: float = 1.0):
+    return jax.random.categorical(key, logits / temperature, axis=-1)
+
+
+def sample_top_k(key, logits, k: int = 5, temperature: float = 1.0):
+    selected_logits, selected_idx = jax.lax.top_k(logits, k)
+    sub = jax.random.categorical(key, selected_logits / temperature, axis=-1)
+    return jnp.take_along_axis(selected_idx, sub[..., None], axis=-1)[..., 0]
+
+
+def sample_top_p(
+    key, logits, top_p: float = 0.2, min_tokens_to_keep: int = 2, temperature: float = 1.0
+):
+    """Nucleus sampling with the reference's exact masking quirks
+    (generation_utils.py:117-190)."""
+    batch, vocab = logits.shape
+    sorted_logits, sorted_idx = jax.lax.top_k(logits, vocab)
+    cum_probs = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    new_logits = jnp.where(cum_probs <= top_p, sorted_logits, -jnp.inf)
+    min_keep = jnp.where(
+        jnp.arange(vocab)[None] < min_tokens_to_keep, sorted_logits, -jnp.inf
+    )
+    logits_to_sample = jnp.where(
+        (new_logits > -jnp.inf) & (min_keep > -jnp.inf), min_keep, new_logits
+    )
+    sub = jax.random.categorical(key, logits_to_sample / temperature, axis=-1)
+    return jnp.take_along_axis(sorted_idx, sub[..., None], axis=-1)[..., 0]
+
+
+def _sampler(method: str, **kwargs):
+    if method == "temperature":
+        return functools.partial(sample_temperature, temperature=kwargs.get("temperature", 1.0))
+    if method == "top_k":
+        return functools.partial(
+            sample_top_k, k=kwargs.get("k", 5), temperature=kwargs.get("temperature", 1.0)
+        )
+    if method == "top_p":
+        return functools.partial(
+            sample_top_p,
+            top_p=kwargs.get("top_p", 0.2),
+            min_tokens_to_keep=kwargs.get("min_tokens_to_keep", 2),
+            temperature=kwargs.get("temperature", 1.0),
+        )
+    raise ValueError(f"unknown sampling method {method!r}")
+
+
+def generate(
+    params: Params,
+    cfg: gpt.GptConfig,
+    key: jax.Array,
+    batch_size: int,
+    num_tokens: Optional[int] = None,
+    *,
+    method: str = "temperature",
+    use_cache: bool = True,
+    **sampling_kwargs,
+) -> jax.Array:
+    """Generate (batch, num_tokens) sequences starting from BOS.
+
+    Step t samples from the logits at position t and writes at t+1 (the final
+    step's write falls off the end, as in the reference).
+    """
+    num_tokens = num_tokens or cfg.max_position_embeddings
+    sampler = _sampler(method, **sampling_kwargs)
+    tokens = jnp.full((batch_size, num_tokens), cfg.bos_token_id, jnp.int32)
+
+    if not use_cache:
+        def step(carry, t):
+            tokens, key = carry
+            logits = gpt.forward(params, cfg, tokens)["logits"]
+            step_logits = jnp.take(logits, t, axis=1)
+            key, sub = jax.random.split(key)
+            new_token = sampler(sub, step_logits)
+            tokens = _write_at(tokens, t + 1, new_token.astype(jnp.int32))
+            return (tokens, key), None
+
+        (tokens, _), _ = jax.lax.scan(step, (tokens, key), jnp.arange(num_tokens))
+        return tokens
+
+    cache = gpt.init_kv_cache(cfg, batch_size, num_tokens)
+
+    def step(carry, t):
+        tokens, cache, key = carry
+        current = jax.lax.dynamic_slice_in_dim(tokens, t, 1, axis=1)
+        logits, cache = gpt.forward_step(params, cfg, current, cache, t)
+        key, sub = jax.random.split(key)
+        new_token = sampler(sub, logits)
+        tokens = _write_at(tokens, t + 1, new_token.astype(jnp.int32))
+        return (tokens, cache, key), None
+
+    (tokens, _, _), _ = jax.lax.scan(step, (tokens, cache, key), jnp.arange(num_tokens))
+    return tokens
+
+
+def _write_at(tokens: jax.Array, index: jax.Array, values: jax.Array) -> jax.Array:
+    """tokens[:, index] = values, dropping out-of-bounds writes (like .at[].set
+    with default OOB semantics in the reference)."""
+    return tokens.at[:, index].set(values, mode="drop")
+
+
+def strip_special_tokens(sequence, bos_token_id: int, eos_token_id: int):
+    """Unpad a generated row: keep tokens before the first EOS, drop BOS/EOS."""
+    import numpy as np
+
+    seq = np.asarray(sequence)
+    before_eos = np.cumsum(seq == eos_token_id) == 0
+    seq = seq[before_eos]
+    return seq[(seq != bos_token_id) & (seq != eos_token_id)]

@@ -1,0 +1,153 @@
+"""GPT LM parity + KV-cache equivalence tests."""
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+import jax
+import jax.numpy as jnp
+
+from protein_structure_tokenizer_tpu.lm import gpt, sampling
+
+SMALL = gpt.GptConfig(
+    vocab_size=35,
+    embed_dim=16,
+    ffn_embed_dim=32,
+    num_heads=2,
+    num_layers=2,
+    rope_dimensions=4,
+    max_position_embeddings=18,
+    bos_token_id=32,
+    eos_token_id=33,
+    pad_token_id=34,
+)
+
+
+def _ref_transform(cfg):
+    from refmodel import import_reference
+
+    import_reference()
+    import haiku as hk
+    from scripts.lm.gpt_model import GptConfig as RefConfig, build_gpt_fn
+
+    ref_cfg = RefConfig(
+        vocab_size=cfg.vocab_size,
+        eos_token_id=cfg.eos_token_id,
+        embed_dim=cfg.embed_dim,
+        ffn_embed_dim=cfg.ffn_embed_dim,
+        num_heads=cfg.num_heads,
+        num_layers=cfg.num_layers,
+        rope_dimensions=cfg.rope_dimensions,
+        max_position_embeddings=cfg.max_position_embeddings,
+        add_bias_ffn=False,
+        ffn_activation_name="swish",
+        use_glu_in_ffn=True,
+        add_bias_lm_head=False,
+        use_gradient_checkpointing=False,
+        norm_type="layer_norm",
+        parallel_attention_ff=False,
+        dropout_rate=0.0,
+    )
+    return hk.transform(build_gpt_fn(ref_cfg))
+
+
+@requires_reference
+def test_forward_logits_parity():
+    f = _ref_transform(SMALL)
+    key = jax.random.PRNGKey(0)
+    tokens = jnp.asarray(
+        np.random.RandomState(0).randint(0, SMALL.vocab_size, size=(2, 18)), jnp.int32
+    )
+    params = f.init(key, tokens)
+    ref_out = f.apply(params, key, tokens)
+    ours = gpt.forward(params, SMALL, tokens)
+    np.testing.assert_allclose(
+        np.asarray(ours["logits"]), np.asarray(ref_out["logits"]), atol=1e-5
+    )
+
+
+def test_param_tree_shapes():
+    params = gpt.init(jax.random.PRNGKey(0), SMALL)
+    tokens = jnp.zeros((1, 4), jnp.int32)
+    out = gpt.forward(params, SMALL, tokens)
+    assert out["logits"].shape == (1, 4, SMALL.vocab_size)
+
+
+def test_cache_matches_full_forward():
+    params = gpt.init(jax.random.PRNGKey(1), SMALL)
+    rng = np.random.RandomState(1)
+    seq = jnp.asarray(rng.randint(0, SMALL.vocab_size, size=(2, 10)), jnp.int32)
+
+    full_logits = gpt.forward(params, SMALL, seq)["logits"]
+
+    cache = gpt.init_kv_cache(SMALL, 2, 10)
+    step_logits = []
+    for t in range(10):
+        logits, cache = gpt.forward_step(
+            params, SMALL, seq[:, t : t + 1], cache, jnp.asarray(t)
+        )
+        step_logits.append(np.asarray(logits))
+    step_logits = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(step_logits, np.asarray(full_logits), atol=1e-5)
+
+
+@pytest.mark.parametrize("method,kwargs", [
+    ("temperature", {"temperature": 0.6}),
+    ("top_k", {"k": 4, "temperature": 0.6}),
+    ("top_p", {"top_p": 0.5, "temperature": 0.6}),
+])
+def test_cached_generation_matches_uncached(method, kwargs):
+    params = gpt.init(jax.random.PRNGKey(2), SMALL)
+    key = jax.random.PRNGKey(3)
+    fast = sampling.generate(
+        params, SMALL, key, batch_size=2, num_tokens=12, method=method,
+        use_cache=True, **kwargs,
+    )
+    slow = sampling.generate(
+        params, SMALL, key, batch_size=2, num_tokens=12, method=method,
+        use_cache=False, **kwargs,
+    )
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+@requires_reference
+def test_generation_matches_reference_sampler():
+    """Our uncached generation must replicate the reference's sampling loop
+    token-for-token given the same parameters and PRNG key."""
+    from scripts.lm.generation_utils import update_tokens_ids_temperature_sampling
+
+    f = _ref_transform(SMALL)
+    key = jax.random.PRNGKey(0)
+    block = 12
+    tokens0 = jnp.full((2, block), SMALL.bos_token_id, jnp.int32)
+    params = f.init(key, tokens0)
+
+    ref_tokens = tokens0
+    ref_key = jax.random.PRNGKey(7)
+    for i in range(block):
+        ref_tokens, ref_key = update_tokens_ids_temperature_sampling(
+            tokens_ids=ref_tokens,
+            time_step=jnp.asarray(i),
+            random_key=ref_key,
+            params=params,
+            apply_fn=f.apply,
+            temperature=0.6,
+        )
+
+    ours = sampling.generate(
+        params, SMALL, jax.random.PRNGKey(7), batch_size=2, num_tokens=block,
+        method="temperature", temperature=0.6, use_cache=False,
+    )
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref_tokens))
+
+    fast = sampling.generate(
+        params, SMALL, jax.random.PRNGKey(7), batch_size=2, num_tokens=block,
+        method="temperature", temperature=0.6, use_cache=True,
+    )
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref_tokens))
+
+
+def test_strip_special_tokens():
+    seq = np.array([32, 5, 7, 33, 9, 33])
+    out = sampling.strip_special_tokens(seq, 32, 33)
+    np.testing.assert_array_equal(out, [5, 7])
