@@ -1,0 +1,20 @@
+NATIVE_DIR := protein_structure_tokenizer_tpu/native
+NATIVE_LIB := $(NATIVE_DIR)/libpst_native.so
+CXX ?= g++
+CXXFLAGS ?= -O3 -march=native -ffast-math -fPIC -shared -std=c++17 -Wall
+
+.PHONY: all native test clean
+
+all: native
+
+native: $(NATIVE_LIB)
+
+$(NATIVE_LIB): $(NATIVE_DIR)/tmscore.cc $(NATIVE_DIR)/featurize.cc
+	$(CXX) $(CXXFLAGS) $^ -o $@
+
+test:
+	python -m pytest tests/ -x -q
+
+clean:
+	rm -f $(NATIVE_LIB)
+	find . -name __pycache__ -type d | xargs rm -rf

@@ -115,9 +115,18 @@ def compute_knn_graph(
 
 
 def preprocess_sample(
-    sample: ProteinSample, config: FeaturizeConfig, rng: Optional[np.random.RandomState] = None
+    sample: ProteinSample,
+    config: FeaturizeConfig,
+    rng: Optional[np.random.RandomState] = None,
+    *,
+    use_native: bool = False,
 ) -> Tuple[GraphFeatures, Dict[str, np.ndarray]]:
-    """Sample -> (padded graph, padded structure-module GT features)."""
+    """Sample -> (padded graph, padded structure-module GT features).
+
+    ``use_native=True`` routes the k-NN/edge-feature hot loop through the C++
+    module (native/featurize.cc) when applicable (CA residue locations, no
+    missing-backbone residues, no crop) — same features to float64 rounding.
+    """
     cfg = config
     atom37_coords = sample.atom37_positions
     atom37_mask = sample.atom37_gt_exists & sample.atom37_atom_exists
@@ -176,16 +185,45 @@ def preprocess_sample(
 
     n_node = num_with_coords
     n_neighbor = n_node if cfg.num_neighbor == -1 else cfg.num_neighbor
-    n_edge, edges, senders, receivers = compute_knn_graph(
-        n_node,
-        atom_centroids,
-        residue_loc,
-        frame_x,
-        frame_y,
-        frame_z,
-        n_neighbor,
-        cfg.noise_level,
+
+    native_ok = (
+        use_native
+        and cfg.residue_loc_is_alphac
+        and cfg.noise_level == 0
+        and cfg.num_neighbor > 0
+        and n_node > cfg.num_neighbor
+        and not missing.any()
+        and sample.nb_residues <= cfg.crop_index
     )
+    if native_ok:
+        from protein_structure_tokenizer_tpu import native
+
+        fast = native.featurize(
+            sample.atom37_positions,
+            atom37_mask,
+            cfg.num_neighbor,
+            cfg.padding_num_residue,
+        )
+    else:
+        fast = None
+
+    if fast is not None:
+        edges_full, senders_full, receivers_full = fast
+        n_edge = n_neighbor * n_node
+        edges = edges_full[:n_edge]
+        senders = senders_full[:n_edge]
+        receivers = receivers_full[:n_edge]
+    else:
+        n_edge, edges, senders, receivers = compute_knn_graph(
+            n_node,
+            atom_centroids,
+            residue_loc,
+            frame_x,
+            frame_y,
+            frame_z,
+            n_neighbor,
+            cfg.noise_level,
+        )
 
     pad_n = cfg.padding_num_residue
     nodes_mask = np.zeros((pad_n,), dtype=bool)

@@ -1,0 +1,174 @@
+"""Structural similarity metrics + reconstruction evaluation harness.
+
+Replaces the reference's subprocess calls into external TMscore/TMalign
+binaries (/root/reference/structure_tokenizer/data/tools/tm_score.py:29-128,
+utils/utils.py:71-156) with the in-repo native module (C++, ctypes) and a
+pure-numpy fallback with identical semantics.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from protein_structure_tokenizer_tpu import native
+from protein_structure_tokenizer_tpu.data import constants
+
+
+@dataclasses.dataclass(frozen=True)
+class StructuralMetrics:
+    rmsd: float
+    tm: float
+    maxsub: float
+    gdt_ts: float
+    gdt_ha: float
+    d0: float
+
+    def as_dict(self) -> Dict[str, float]:
+        return dataclasses.asdict(self)
+
+
+def kabsch_superpose(model: np.ndarray, target: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Optimal (R, t) mapping model onto target (both (N, 3))."""
+    cm, ct = model.mean(0), target.mean(0)
+    h = (model - cm).T @ (target - ct)
+    u, s, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    correction = np.diag([1.0, 1.0, d])
+    rot = vt.T @ correction @ u.T
+    return rot, ct - rot @ cm
+
+
+def _tm_python(model: np.ndarray, target: np.ndarray) -> StructuralMetrics:
+    """Pure-numpy fallback mirroring the native search."""
+    n = len(model)
+    d0 = max(1.24 * (n - 15) ** (1.0 / 3.0) - 1.8, 0.5) if n > 21 else 0.5
+    d0_sq = d0 * d0
+
+    rot, trans = kabsch_superpose(model, target)
+    moved = model @ rot.T + trans
+    rmsd = float(np.sqrt(np.mean(np.sum((moved - target) ** 2, axis=-1))))
+
+    best_tm, best_ms, best_sq = 0.0, 0.0, np.sum((moved - target) ** 2, axis=-1)
+
+    def score(m):
+        dd = np.sum((m - target) ** 2, axis=-1)
+        tm = float(np.mean(1.0 / (1.0 + dd / d0_sq)))
+        ms_mask = dd < 3.5**2
+        ms = float(np.sum(1.0 / (1.0 + dd[ms_mask] / 3.5**2)) / n)
+        return tm, ms, dd
+
+    tm, ms, _ = score(moved)
+    best_tm, best_ms = tm, ms
+
+    seed_lens = []
+    length = n
+    while length >= 4:
+        seed_lens.append(length)
+        length //= 2
+    for seed in seed_lens:
+        for start in range(0, n - seed + 1, max(1, seed // 2)):
+            idx = np.arange(start, start + seed)
+            for it in range(20):
+                if len(idx) < 4:
+                    break
+                rot, trans = kabsch_superpose(model[idx], target[idx])
+                m = model @ rot.T + trans
+                tm, ms, dd = score(m)
+                if tm > best_tm:
+                    best_tm, best_sq = tm, dd
+                best_ms = max(best_ms, ms)
+                d_cut = max(d0 + 1.0 - 0.5 * it, 3.0)
+                nxt = np.where(dd < d_cut * d_cut)[0]
+                if len(nxt) < 4 or (len(nxt) == len(idx) and np.array_equal(nxt, idx)):
+                    break
+                idx = nxt
+
+    def frac(cut):
+        return float(np.mean(best_sq < cut * cut))
+
+    gdt_ts = (frac(1) + frac(2) + frac(4) + frac(8)) / 4
+    gdt_ha = (frac(0.5) + frac(1) + frac(2) + frac(4)) / 4
+    return StructuralMetrics(rmsd=rmsd, tm=best_tm, maxsub=best_ms, gdt_ts=gdt_ts, gdt_ha=gdt_ha, d0=d0)
+
+
+def structural_metrics(model_xyz: np.ndarray, target_xyz: np.ndarray) -> StructuralMetrics:
+    """TM-score family for 1:1 corresponding coordinates (native when built)."""
+    result = native.tm_score(model_xyz, target_xyz)
+    if result is not None:
+        return StructuralMetrics(**{k: result[k] for k in (
+            "rmsd", "tm", "maxsub", "gdt_ts", "gdt_ha", "d0")})
+    return _tm_python(model_xyz, target_xyz)
+
+
+def backbone_rmsd(
+    pred_atom37: np.ndarray,
+    target_atom37: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+) -> float:
+    """Superposed RMSD over backbone atoms (N, CA, C, O)."""
+    idx = [constants.ATOM_ORDER[a] for a in constants.BACKBONE_ATOM_TYPES]
+    pred = pred_atom37[:, idx].reshape(-1, 3)
+    target = target_atom37[:, idx].reshape(-1, 3)
+    if mask is not None:
+        m = np.repeat(mask.astype(bool), len(idx))
+        pred, target = pred[m], target[m]
+    r = native.rmsd(pred, target)
+    if r is not None:
+        return r
+    rot, trans = kabsch_superpose(pred, target)
+    moved = pred @ rot.T + trans
+    return float(np.sqrt(np.mean(np.sum((moved - target) ** 2, axis=-1))))
+
+
+def ca_metrics(
+    pred_atom37: np.ndarray, target_atom37: np.ndarray, mask: Optional[np.ndarray] = None
+) -> StructuralMetrics:
+    """TM-score metrics over CA traces (the TMscore binary's convention)."""
+    pred = pred_atom37[:, constants.CA_INDEX]
+    target = target_atom37[:, constants.CA_INDEX]
+    if mask is not None:
+        pred, target = pred[mask.astype(bool)], target[mask.astype(bool)]
+    return structural_metrics(pred, target)
+
+
+def compare_structure_dirs(
+    predicted_dir: str, target_dir: str
+) -> Dict[str, Dict[str, float]]:
+    """Directory-vs-directory comparison report (make_tm_compare equivalent).
+
+    Pairs files by basename stem; returns per-structure metrics plus
+    ``__aggregate__`` mean/std entries.
+    """
+    from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
+
+    def stems(d):
+        out = {}
+        for f in os.listdir(d):
+            if f.endswith(".pdb"):
+                stem = f[:-4].replace("structure_", "")
+                out[stem] = os.path.join(d, f)
+        return out
+
+    preds, targets = stems(predicted_dir), stems(target_dir)
+    report: Dict[str, Dict[str, float]] = {}
+    values: Dict[str, List[float]] = {}
+    for stem in sorted(set(preds) & set(targets)):
+        p = parse_pdb_file(preds[stem])
+        t = parse_pdb_file(targets[stem])
+        n = min(p.nb_residues, t.nb_residues)
+        metrics = ca_metrics(
+            p.atom37_positions[:n].astype(np.float64),
+            t.atom37_positions[:n].astype(np.float64),
+        )
+        report[stem] = metrics.as_dict()
+        for k, v in report[stem].items():
+            values.setdefault(k, []).append(v)
+    if values:
+        report["__aggregate__"] = {
+            **{f"{k}_mean": float(np.mean(v)) for k, v in values.items()},
+            **{f"{k}_std": float(np.std(v)) for k, v in values.items()},
+        }
+    return report

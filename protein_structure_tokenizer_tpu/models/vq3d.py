@@ -108,11 +108,20 @@ def structure_encoder(
     )
 
 
-def _down_attention_mask(cfg: Vq3dConfig, nodes_mask, tokens_mask) -> jax.Array:
-    """(B, H, T, N) downsampler attention mask incl. the local-window rule."""
+def _down_attention_mask(cfg: Vq3dConfig, nodes_mask, tokens_mask, exact: bool = False) -> jax.Array:
+    """(B, 1|H, T, N) downsampler attention mask incl. the local-window rule.
+
+    Fast mode keeps the head axis singleton — broadcasting in the attention
+    bias is mathematically identical to the reference's explicit per-head
+    repeat and saves num_head x (B, T, N) of HBM traffic; exact mode
+    materializes the repeat so XLA fuses identically to the reference
+    (bitwise activations).
+    """
     base = tokens_mask * jnp.swapaxes(nodes_mask, -1, -2)  # (B, T, N)
-    num_head = cfg.down_sampler.cross_attn.num_head
-    mask = jnp.repeat(base[:, None], num_head, axis=1)  # (B, H, T, N)
+    if exact:
+        mask = jnp.repeat(base[:, None], cfg.down_sampler.cross_attn.num_head, axis=1)
+    else:
+        mask = base[:, None]  # (B, 1, T, N)
     if cfg.down_local_attn or cfg.down_causal_attn:
         local = _local_window_mask(cfg.data.seq_max_size, cfg.data.downsampling_ratio)
         local = local[None, None]  # (1, 1, T, N)
@@ -123,12 +132,14 @@ def _down_attention_mask(cfg: Vq3dConfig, nodes_mask, tokens_mask) -> jax.Array:
     return mask
 
 
-def _up_attention_mask(cfg: Vq3dConfig, nodes_mask, tokens_mask) -> jax.Array:
-    """(B, H, N, T) upsampler attention mask."""
+def _up_attention_mask(cfg: Vq3dConfig, nodes_mask, tokens_mask, exact: bool = False) -> jax.Array:
+    """(B, 1|H, N, T) upsampler attention mask (head axis broadcasts in fast mode)."""
     base = tokens_mask * jnp.swapaxes(nodes_mask, -1, -2)  # (B, T, N)
-    num_head = cfg.up_sampler.cross_attn.num_head
-    mask = jnp.repeat(base[:, None], num_head, axis=1)  # (B, H, T, N)
-    mask = jnp.swapaxes(mask, -1, -2)  # (B, H, N, T)
+    if exact:
+        mask = jnp.repeat(base[:, None], cfg.up_sampler.cross_attn.num_head, axis=1)
+        mask = jnp.swapaxes(mask, -1, -2)  # (B, H, N, T)
+    else:
+        mask = jnp.swapaxes(base[:, None], -1, -2)  # (B, 1, N, T)
     if cfg.up_local_attn:
         local = _local_window_mask(cfg.data.seq_max_size, cfg.data.downsampling_ratio)
         mask = mask * jnp.swapaxes(local, -1, -2)[None, None]
@@ -152,8 +163,13 @@ def encode(
         exact_aggregation=exact_aggregation,
     )
 
-    attn_mask = _down_attention_mask(cfg, graph.nodes_mask, graph.tokens_mask)
-    out_mask = jnp.repeat(graph.tokens_mask, cfg.down_sampler.out_emb_size, axis=-1)
+    attn_mask = _down_attention_mask(
+        cfg, graph.nodes_mask, graph.tokens_mask, exact=exact_aggregation
+    )
+    # output/input masks are pass-throughs the scaler math never reads
+    # (Transition ignores its mask; modules.py:211-262) — no need to repeat
+    # them over channels as the reference does.
+    out_mask = graph.tokens_mask
 
     continuous = cross_attention_scaler(
         subtree(params, SCOPE_DOWN),
@@ -254,6 +270,8 @@ def decode(
     quantized: jax.Array,  # (B, T, D_codes)
     nodes_mask: jax.Array,  # (B, N, 1)
     tokens_mask: jax.Array,  # (B, T, 1)
+    *,
+    exact: bool = False,
 ):
     """Codes -> (quantized_proj, single track s_i, pair track z_ij)."""
     if cfg.up_proj_dim is not None:
@@ -261,8 +279,8 @@ def decode(
     else:
         quantized_proj = quantized
 
-    attn_mask = _up_attention_mask(cfg, nodes_mask, tokens_mask)
-    out_mask = jnp.repeat(nodes_mask, cfg.up_sampler.out_emb_size, axis=-1)
+    attn_mask = _up_attention_mask(cfg, nodes_mask, tokens_mask, exact=exact)
+    out_mask = nodes_mask
 
     seq_decoded = cross_attention_scaler(
         subtree(params, SCOPE_UP),

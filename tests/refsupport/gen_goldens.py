@@ -62,8 +62,14 @@ def make_fake_graph(seed: int, batch: int, seq_max: int, k: int, downsampling: i
 def generate(codebook_size: int = 4096, downsampling: int = 1, seed: int = 0,
              batch: int = 2, n_real: int = 77) -> str:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    # The fixture must be produced under the same XLA device configuration the
+    # comparing test session uses (device count changes CPU fusion at float-ulp
+    # level, which the bitwise assertions would see), so key the cache on it.
+    import jax
+
+    ndev = len(jax.devices())
     out_path = os.path.join(
-        GOLDEN_DIR, f"vq3d_{codebook_size}_df{downsampling}_s{seed}.npz"
+        GOLDEN_DIR, f"vq3d_{codebook_size}_df{downsampling}_s{seed}_d{ndev}.npz"
     )
     if os.path.exists(out_path):
         return out_path
