@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Runnable examples for the data pipeline and tokenizer API.
+
+Counterpart of /root/reference/examples.py:20-279 (5 scenarios: basic file
+processing, custom config, PDB-string input, batch processing, info-only),
+plus a tokenizer round-trip on top of the preprocessed graph.
+
+Run:  python examples.py            # all examples
+      python examples.py 3          # just example 3
+"""
+import glob
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from protein_structure_tokenizer_tpu.data.featurize import FeaturizeConfig
+from protein_structure_tokenizer_tpu.data.pipeline import DataPipeline, PipelineConfig
+
+CASP14 = "/root/reference/casp14_pdbs"
+OUT = tempfile.mkdtemp(prefix="pst_examples_")
+
+
+def _sample_pdb() -> str:
+    hits = sorted(glob.glob(os.path.join(CASP14, "*.pdb")))
+    if not hits:
+        raise SystemExit(f"no sample PDBs under {CASP14}")
+    return hits[0]
+
+
+def example_1_basic_usage():
+    """Process one PDB file end-to-end and persist the padded graph."""
+    pipeline = DataPipeline()
+    pdb = _sample_pdb()
+    out = os.path.join(OUT, "example1.npz")
+    graph, features = pipeline.process_single(pdb, out)
+    print(f"[1] {os.path.basename(pdb)}: {int(graph.nodes_mask.sum())} residues, "
+          f"{int(graph.tokens_mask.sum())} tokens -> {out}")
+    graph2, _ = DataPipeline.load(out)
+    assert np.array_equal(graph.edge_features, graph2.edge_features)
+
+
+def example_2_custom_config():
+    """Tighter limits + smaller k-NN graph via PipelineConfig."""
+    cfg = PipelineConfig(
+        featurize=FeaturizeConfig(padding_num_residue=256, num_neighbor=20),
+        min_number_valid_residues=20,
+        max_number_residues=256,
+    )
+    pipeline = DataPipeline(cfg)
+    for pdb in sorted(glob.glob(os.path.join(CASP14, "*.pdb")))[:5]:
+        try:
+            graph, _ = pipeline.process_single(pdb)
+            print(f"[2] {os.path.basename(pdb)}: OK, edges={graph.senders.shape[0]}")
+            break
+        except ValueError as exc:
+            print(f"[2] {os.path.basename(pdb)}: rejected ({exc})")
+
+
+def example_3_pdb_string():
+    """Featurize directly from an in-memory PDB string."""
+    with open(_sample_pdb()) as f:
+        pdb_string = f.read()
+    pipeline = DataPipeline()
+    sample = pipeline.load_from_pdb_string(pdb_string)
+    print(f"[3] parsed from string: {sample.nb_residues} residues, "
+          f"chain={sample.chain_id}")
+
+
+def example_4_batch_processing():
+    """Process a directory of PDBs; failures are logged, not fatal."""
+    pipeline = DataPipeline()
+    pdbs = sorted(glob.glob(os.path.join(CASP14, "*.pdb")))[:4]
+    results = pipeline.process_batch(pdbs, os.path.join(OUT, "batch"))
+    ok = sum(v is not None for v in results.values())
+    print(f"[4] batch: {ok}/{len(results)} processed -> {OUT}/batch")
+
+
+def example_5_info_only():
+    """Inspect a sample without featurizing."""
+    pipeline = DataPipeline()
+    sample = pipeline.load_from_pdb_file(_sample_pdb())
+    info = pipeline.info(sample)
+    print(f"[5] info: {info}")
+
+
+def example_6_tokenize_roundtrip():
+    """Graph -> token ids -> codes with a randomly-initialized model."""
+    import jax
+
+    import protein_structure_tokenizer_tpu as pst
+    from protein_structure_tokenizer_tpu.models import vq3d
+    from protein_structure_tokenizer_tpu.runtime.runner import collate_graphs
+    import dataclasses
+
+    cfg, params = pst.load_tokenizer(4096, 1)
+    pipeline = DataPipeline()
+    graph, _ = pipeline.process_single(_sample_pdb())
+    batch = collate_graphs([dataclasses.asdict(graph)])
+    out = vq3d.encode_and_quantize(params, cfg, batch, compute_usage=False)
+    n = int(batch.tokens_mask.sum())
+    tokens = np.asarray(out["tokens"])[0, :n]
+    codes = np.asarray(vq3d.indexes_to_codes(cfg, tokens[None]))
+    print(f"[6] {n} tokens, ids in [{tokens.min()}, {tokens.max()}], "
+          f"codes shape {codes.shape} (random weights)")
+
+
+EXAMPLES = [
+    example_1_basic_usage,
+    example_2_custom_config,
+    example_3_pdb_string,
+    example_4_batch_processing,
+    example_5_info_only,
+    example_6_tokenize_roundtrip,
+]
+
+
+def main():
+    which = [int(a) for a in sys.argv[1:]] or range(1, len(EXAMPLES) + 1)
+    try:
+        for i in which:
+            EXAMPLES[i - 1]()
+    finally:
+        shutil.rmtree(OUT, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

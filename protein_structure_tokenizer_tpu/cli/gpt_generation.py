@@ -37,7 +37,11 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_size_per_device", type=int, default=8)
     parser.add_argument("--params_path", type=str, default=None)
     parser.add_argument("--sampling_method", type=str, default="temperature",
-                        choices=["temperature", "top_k", "top_p"])
+                        choices=["temperature", "top_k", "top_p", "random"],
+                        help="'random' is the model-free length-matched "
+                        "baseline (reference generation_utils.py:193-257)")
+    parser.add_argument("--average_num_struct_tokens", type=int, default=256,
+                        help="Poisson length mean for --sampling_method random")
     parser.add_argument("--sampling_temp", type=float, default=0.6)
     parser.add_argument("--top_k", type=int, default=4)
     parser.add_argument("--top_p", type=float, default=0.15)
@@ -76,6 +80,18 @@ def main(argv=None) -> None:
     start = time.time()
     all_sequences = []
     for i in range(num_iterations):
+        if args.sampling_method == "random":
+            tokens = sampling.random_sampling(
+                sampling_keys[i],
+                max_len=cfg.max_position_embeddings - 2,
+                num_sequences=batch,
+                average_num_struct_tokens=args.average_num_struct_tokens,
+                codebook_size=args.codebook_size,
+                eos_token_id=cfg.eos_token_id,
+                bos_token_id=cfg.bos_token_id,
+            )
+            all_sequences.append(np.asarray(tokens))
+            continue
         tokens = sampling.generate(
             params,
             cfg,

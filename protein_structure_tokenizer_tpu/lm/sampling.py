@@ -117,6 +117,38 @@ def generate(
     return tokens
 
 
+def random_sampling(
+    key: jax.Array,
+    max_len: int,
+    num_sequences: int,
+    average_num_struct_tokens: int,
+    codebook_size: int,
+    eos_token_id: int,
+    bos_token_id: int,
+) -> jax.Array:
+    """Length-matched random-token baseline (generation_utils.py:193-257).
+
+    Sequence lengths ~ Poisson(average_num_struct_tokens) clipped to max_len;
+    tokens uniform over the codebook; rows padded with EOS after the sampled
+    length and framed with BOS/EOS.  Returns (num_sequences, max_len + 2).
+    """
+    lengths = jnp.clip(
+        jax.random.poisson(key, lam=average_num_struct_tokens, shape=(num_sequences,)),
+        max=max_len,
+    )
+    key, _ = jax.random.split(key)  # reference key discipline: split, draw with first
+    seqs = jax.random.randint(
+        key, shape=(num_sequences, max_len), minval=0, maxval=codebook_size
+    )
+    in_range = jnp.arange(max_len)[None] < lengths[:, None]
+    seqs = jnp.where(in_range, seqs, eos_token_id)
+    return jnp.pad(
+        jnp.pad(seqs, ((0, 0), (1, 0)), constant_values=bos_token_id),
+        ((0, 0), (0, 1)),
+        constant_values=eos_token_id,
+    )
+
+
 def _write_at(tokens: jax.Array, index: jax.Array, values: jax.Array) -> jax.Array:
     """tokens[:, index] = values, dropping out-of-bounds writes (like .at[].set
     with default OOB semantics in the reference)."""
