@@ -37,6 +37,13 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
         help="Device platform; defaults to the JAX default backend.",
     )
     parser.add_argument(
+        "--profile_dir",
+        type=str,
+        default=None,
+        help="Capture an XLA profiler trace of the run into this directory "
+        "(view with XProf/TensorBoard).",
+    )
+    parser.add_argument(
         "--exact",
         action="store_true",
         help="Bit-exact (reference-order) message aggregation instead of the "

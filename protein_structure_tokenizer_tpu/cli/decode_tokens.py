@@ -43,6 +43,7 @@ def main(argv=None) -> None:
         batch_size_per_device=args.batch_size_per_device,
         pad_token_id=args.pad_token_id,
         progress=True,
+        profile_dir=args.profile_dir,
     )
 
 

@@ -39,6 +39,7 @@ def main(argv=None) -> None:
         args.token_save_path,
         batch_size_per_device=args.batch_size_per_device,
         progress=True,
+        profile_dir=args.profile_dir,
     )
 
 

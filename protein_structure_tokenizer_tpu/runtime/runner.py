@@ -33,6 +33,7 @@ from protein_structure_tokenizer_tpu.models import vq3d
 from protein_structure_tokenizer_tpu.models.config import Vq3dConfig
 from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
 from protein_structure_tokenizer_tpu.utils.params import Params
+from protein_structure_tokenizer_tpu.utils.profiling import StageTimers, device_trace
 
 logger = logging.getLogger(__name__)
 
@@ -172,11 +173,17 @@ class InferenceRunner:
         *,
         batch_size_per_device: int = 16,
         progress: bool = False,
+        profile_dir: Optional[str] = None,
     ) -> dict:
         """Tokenize PDBs; returns {basename: np.ndarray tokens}, optionally
-        saving ``<name>_tokens.npy`` files like the reference runner."""
+        saving ``<name>_tokens.npy`` files like the reference runner.
+
+        ``profile_dir`` captures an XLA profiler trace of the whole loop with
+        per-stage host annotations (featurize/collate/device/save).
+        """
         if token_save_path is not None:
             os.makedirs(token_save_path, exist_ok=False)
+        timers = StageTimers()
 
         global_batch = mesh_lib.global_batch_size(self.mesh, batch_size_per_device)
         num_iterations = -(-len(pdb_paths) // global_batch)
@@ -192,24 +199,32 @@ class InferenceRunner:
             except ImportError:
                 pass
 
-        for it in iterator:
-            chunk = padded_paths[it * global_batch : (it + 1) * global_batch]
-            start = time.perf_counter()
-            graphs = self.featurize(chunk)
-            batch = collate_graphs(graphs)
-            batch = mesh_lib.shard_batch(self.mesh, batch)
-            out = self.tokenize_fn(self.params, batch)
-            tokens = np.asarray(jax.device_get(out["tokens"]))
-            n_tokens = np.asarray(batch.tokens_mask).reshape(global_batch, -1).sum(axis=1)
-            logger.info(
-                "tokenized %d structures in %.3fs", global_batch, time.perf_counter() - start
-            )
-            for row, path in enumerate(chunk):
-                name = os.path.basename(path).split(".pdb")[0]
-                token_array = tokens[row : row + 1, : int(n_tokens[row])]
-                results[name] = token_array
-                if token_save_path is not None:
-                    np.save(os.path.join(token_save_path, name + "_tokens"), token_array)
+        with device_trace(profile_dir):
+            for it in iterator:
+                chunk = padded_paths[it * global_batch : (it + 1) * global_batch]
+                start = time.perf_counter()
+                with timers.annotated_stage("featurize"):
+                    graphs = self.featurize(chunk)
+                with timers.annotated_stage("collate+shard"):
+                    batch = collate_graphs(graphs)
+                    batch = mesh_lib.shard_batch(self.mesh, batch)
+                with timers.annotated_stage("device"):
+                    out = self.tokenize_fn(self.params, batch)
+                    tokens = np.asarray(jax.device_get(out["tokens"]))
+                n_tokens = np.asarray(batch.tokens_mask).reshape(global_batch, -1).sum(axis=1)
+                logger.info(
+                    "tokenized %d structures in %.3fs", global_batch, time.perf_counter() - start
+                )
+                with timers.annotated_stage("save"):
+                    for row, path in enumerate(chunk):
+                        name = os.path.basename(path).split(".pdb")[0]
+                        token_array = tokens[row : row + 1, : int(n_tokens[row])]
+                        results[name] = token_array
+                        if token_save_path is not None:
+                            np.save(
+                                os.path.join(token_save_path, name + "_tokens"), token_array
+                            )
+        timers.log_summary("tokenize stages")
         return results
 
     # -- decode -------------------------------------------------------------
@@ -221,9 +236,11 @@ class InferenceRunner:
         batch_size_per_device: int = 16,
         pad_token_id: Optional[int] = None,
         progress: bool = False,
+        profile_dir: Optional[str] = None,
     ) -> dict:
         """Decode token .npy files into backbone structures (and PDB files)."""
         cfg = self.config.data
+        timers = StageTimers()
         pad_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
         df = cfg.downsampling_ratio
         effective_len = cfg.seq_max_size // df
@@ -247,52 +264,57 @@ class InferenceRunner:
             except ImportError:
                 pass
 
-        for it in iterator:
-            chunk = padded_files[it * global_batch : (it + 1) * global_batch]
-            token_rows = []
-            for path in chunk:
-                seq = np.load(path).astype(np.int32).reshape(-1)[:effective_len]
-                token_rows.append(
-                    np.pad(seq, (0, effective_len - len(seq)), constant_values=pad_id)
+        with device_trace(profile_dir):
+            for it in iterator:
+                chunk = padded_files[it * global_batch : (it + 1) * global_batch]
+                with timers.annotated_stage("load+mask"):
+                    token_rows = []
+                    for path in chunk:
+                        seq = np.load(path).astype(np.int32).reshape(-1)[:effective_len]
+                        token_rows.append(
+                            np.pad(seq, (0, effective_len - len(seq)), constant_values=pad_id)
+                        )
+                    tokens_ids = np.stack(token_rows)
+
+                    tokens_mask = build_tokens_mask_from_sequence(tokens_ids, pad_id)
+                    nodes_mask = build_nodes_mask_from_tokens_mask(tokens_mask, df)
+                    num_nodes = nodes_mask.sum(axis=-1)
+
+                with timers.annotated_stage("device"):
+                    quantized = self.indexes_to_codes_fn(jnp.asarray(tokens_ids))
+                    out = self.decode_fn(
+                        self.params,
+                        mesh_lib.shard_batch(self.mesh, jnp.asarray(quantized)),
+                        mesh_lib.shard_batch(
+                            self.mesh, jnp.asarray(nodes_mask[..., None], dtype=jnp.float32)
+                        ),
+                        mesh_lib.shard_batch(
+                            self.mesh, jnp.asarray(tokens_mask[..., None], dtype=jnp.float32)
+                        ),
+                    )
+                    positions = np.asarray(jax.device_get(out["final_atom_positions"]))
+                    mask = np.asarray(jax.device_get(out["final_atom_mask"]))
+
+                total_padded = positions.shape[1]
+                aatype_dummy = np.concatenate(
+                    [np.ones((total_padded, 1)), np.zeros((total_padded, 20))], axis=-1
                 )
-            tokens_ids = np.stack(token_rows)
-
-            tokens_mask = build_tokens_mask_from_sequence(tokens_ids, pad_id)
-            nodes_mask = build_nodes_mask_from_tokens_mask(tokens_mask, df)
-            num_nodes = nodes_mask.sum(axis=-1)
-
-            quantized = self.indexes_to_codes_fn(jnp.asarray(tokens_ids))
-            out = self.decode_fn(
-                self.params,
-                mesh_lib.shard_batch(self.mesh, jnp.asarray(quantized)),
-                mesh_lib.shard_batch(
-                    self.mesh, jnp.asarray(nodes_mask[..., None], dtype=jnp.float32)
-                ),
-                mesh_lib.shard_batch(
-                    self.mesh, jnp.asarray(tokens_mask[..., None], dtype=jnp.float32)
-                ),
-            )
-            positions = np.asarray(jax.device_get(out["final_atom_positions"]))
-            mask = np.asarray(jax.device_get(out["final_atom_mask"]))
-
-            total_padded = positions.shape[1]
-            aatype_dummy = np.concatenate(
-                [np.ones((total_padded, 1)), np.zeros((total_padded, 20))], axis=-1
-            )
-            for row, path in enumerate(chunk):
-                n = int(num_nodes[row])
-                prot = Protein.from_atom37_rep(
-                    atom37_positions=positions[row, :n],
-                    atom37_gt_exists=mask[row, :n],
-                    atom37_atom_exists=mask[row, :n],
-                    aatype=aatype_dummy[:n],
-                    chain_id="A",
-                )
-                name = os.path.basename(path).split("_tokens.npy")[0].split(".npy")[0]
-                results[name] = prot
-                if structure_dir is not None:
-                    with open(
-                        os.path.join(structure_dir, f"structure_{name}.pdb"), "w"
-                    ) as f:
-                        f.write(to_pdb(prot))
+                with timers.annotated_stage("write_pdb"):
+                    for row, path in enumerate(chunk):
+                        n = int(num_nodes[row])
+                        prot = Protein.from_atom37_rep(
+                            atom37_positions=positions[row, :n],
+                            atom37_gt_exists=mask[row, :n],
+                            atom37_atom_exists=mask[row, :n],
+                            aatype=aatype_dummy[:n],
+                            chain_id="A",
+                        )
+                        name = os.path.basename(path).split("_tokens.npy")[0].split(".npy")[0]
+                        results[name] = prot
+                        if structure_dir is not None:
+                            with open(
+                                os.path.join(structure_dir, f"structure_{name}.pdb"), "w"
+                            ) as f:
+                                f.write(to_pdb(prot))
+        timers.log_summary("decode stages")
         return results
