@@ -92,6 +92,7 @@ def quantize(
     compute_usage: bool = True,
     compute_distances: bool = False,
     usage_reduce_axis: Optional[str] = None,
+    use_pallas: Optional[bool] = None,
 ) -> dict:
     """Full quantizer forward.
 
@@ -133,24 +134,38 @@ def quantize(
     token_mask = masks[..., 0]  # (B, N)
 
     if compute_usage:
-        # One-hot usage estimate.  Equivalent to the reference's
-        # one_hot+where+reshape chain but via a single masked scatter-free sum.
-        one_hot = jax.nn.one_hot(tokens, num_classes=config.num_codes)
-        one_hot = one_hot * token_mask[..., None]
-        counts = jnp.sum(one_hot.reshape(-1, config.num_codes), axis=0)
+        # Masked histogram of token usage.  A scatter-add over the (B*N,)
+        # token ids produces bit-identical counts to the reference's
+        # one_hot+where+sum chain (counts are small integers, exact in f32)
+        # without materializing the (B, N, K) one-hot — at K=64000 that
+        # intermediate alone is 4 GB for a 32x512 batch.
+        counts = jnp.zeros((config.num_codes,), jnp.float32).at[
+            tokens.reshape(-1)
+        ].add(token_mask.reshape(-1).astype(jnp.float32))
         avg_probs = counts / jnp.sum(counts)
         if usage_reduce_axis is not None:
             avg_probs = jax.lax.pmean(avg_probs, axis_name=usage_reduce_axis)
         out["perplexity"] = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
 
     if compute_distances:
-        codebook = implicit_codebook(config)
-        sqr_diff = (bounded[..., None, :] - codebook[None, None]) ** 2  # (B,N,K,D)
-        distances = jnp.sum(sqr_diff, axis=-1)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            # Tiled TPU kernel: codebook tiles synthesized on the fly from the
+            # implicit grid — no (B, N, K, D) intermediate, no (K, D) table in
+            # HBM (ops/fsq_kernels.py).  Same per-row d-order accumulation.
+            from protein_structure_tokenizer_tpu.ops.fsq_kernels import fsq_distances
+
+            distances = fsq_distances(bounded, levels=tuple(config.levels))
+        else:
+            codebook = implicit_codebook(config)
+            sqr_diff = (bounded[..., None, :] - codebook[None, None]) ** 2  # (B,N,K,D)
+            distances = jnp.sum(sqr_diff, axis=-1)
         # NOTE: the reference applies softmax to the *raw distances* (not their
         # negation) — replicated verbatim (quantize.py:238).
         out["soft_proba"] = jax.nn.softmax(distances, axis=-1)
-        dist_mask = jnp.repeat(token_mask[..., None], config.num_codes, axis=-1)
-        out["distances"] = jnp.sum(dist_mask[..., None] * sqr_diff, axis=-1)
+        # The reference masks sqr_diff before the D-sum; the mask is constant
+        # over both K and D, so masking the summed distances is bit-identical.
+        out["distances"] = token_mask[..., None] * distances
 
     return out

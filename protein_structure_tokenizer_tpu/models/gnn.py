@@ -92,6 +92,7 @@ def _message_layer(
 ) -> tuple[jax.Array, jax.Array]:
     dim = config.hidden_dimension
     batch, num_nodes, _ = node_feats.shape
+    num_edges = edge_feats.shape[1]
     if layer_cls == "MPNNLayer":
         activation = jax.nn.gelu
         node_mlp0 = [p[f"node_mlp_0/~/linear_{i}"] for i in range(3)]
@@ -106,6 +107,31 @@ def _message_layer(
         raise ValueError(f"unknown gnn layer class {layer_cls!r}")
 
     def messages_from(feats: jax.Array, params_list) -> jax.Array:
+        if canonical_receivers and not exact:
+            # Decompose the concat-matmul: [s; r; e] @ W == s@Ws + r@Wr + e@We.
+            # Sender/receiver projections run at (B, N, D) node granularity
+            # (K-fold fewer rows than the edge table), the receiver term
+            # broadcasts over the K neighbor slots with no gather, and the
+            # (B, E, 3D) concat intermediate never exists.  Summation order
+            # differs from the fused matmul at f32 ulp level — exact mode
+            # keeps the reference's order.
+            first = params_list[0]
+            d_f = feats.shape[-1]
+            d_e = edge_feats.shape[-1]
+            w_s, w_r, w_e = jnp.split(first["w"], [d_f, 2 * d_f], axis=0)
+            k = num_edges // num_nodes
+            sender_proj = jnp.matmul(feats, w_s, preferred_element_type=feats.dtype)
+            receiver_proj = (
+                jnp.matmul(feats, w_r, preferred_element_type=feats.dtype) + first["b"]
+            )
+            edge_proj = jnp.matmul(edge_feats, w_e, preferred_element_type=feats.dtype)
+            h = (
+                _gather_nodes(sender_proj, senders).reshape(batch, num_nodes, k, -1)
+                + receiver_proj[:, :, None]
+                + edge_proj.reshape(batch, num_nodes, k, -1)
+            )
+            h = mlp(params_list[1:], activation(h), activation)
+            return h.reshape(batch, num_edges, -1)
         msg_in = jnp.concatenate(
             [_gather_nodes(feats, senders), _gather_nodes(feats, receivers), edge_feats],
             axis=-1,

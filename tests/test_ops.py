@@ -1,0 +1,58 @@
+"""Pallas kernel correctness vs the jnp reference paths."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protein_structure_tokenizer_tpu.models import fsq as fsq_lib
+
+
+LEVEL_SETS = [(4, 4, 3, 3, 3), (4, 4, 4, 3, 3, 3), (4, 4, 4, 4, 4, 4), (8, 8, 8, 5, 5, 5)]
+
+
+@pytest.mark.parametrize("levels", LEVEL_SETS, ids=lambda l: str(int(np.prod(l))))
+def test_fsq_distances_kernel_matches_jnp(levels):
+    from protein_structure_tokenizer_tpu.ops.fsq_kernels import fsq_distances
+
+    cfg = fsq_lib.FsqConfig(levels=levels)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, len(levels)).astype(np.float32))
+    bounded = fsq_lib.bound(cfg, x)
+
+    codebook = fsq_lib.implicit_codebook(cfg)
+    ref = jnp.sum((bounded[..., None, :] - codebook[None, None]) ** 2, axis=-1)
+    try:
+        ours = fsq_distances(bounded, levels=levels)
+    except Exception as exc:  # platform without a Pallas lowering
+        pytest.skip(f"pallas unavailable on {jax.default_backend()}: {exc}")
+    # Bit-exact on TPU (validated on hardware); CPU interpret mode reduces the
+    # D axis in a different order -> f32 ulp drift.
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), rtol=1e-6, atol=1e-5
+    )
+
+
+def test_quantize_distances_paths_agree():
+    """quantize(compute_distances=True) jnp vs pallas paths produce the same
+    soft_proba/distances."""
+    cfg = fsq_lib.FsqConfig(levels=(4, 4, 4, 4, 4, 4))
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 6).astype(np.float32))
+    mask = jnp.ones((2, 8, 6), jnp.float32)
+
+    ref = fsq_lib.quantize(
+        cfg, x, mask, compute_usage=False, compute_distances=True, use_pallas=False
+    )
+    try:
+        ours = fsq_lib.quantize(
+            cfg, x, mask, compute_usage=False, compute_distances=True, use_pallas=True
+        )
+    except Exception as exc:
+        pytest.skip(f"pallas unavailable on {jax.default_backend()}: {exc}")
+    np.testing.assert_allclose(
+        np.asarray(ours["distances"]), np.asarray(ref["distances"]), rtol=1e-6, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours["soft_proba"]), np.asarray(ref["soft_proba"]), rtol=1e-5, atol=1e-6
+    )
