@@ -79,7 +79,17 @@ class Vq3dConfig:
         return self.fsq.codes_dimension if self.fsq else self.down_sampler.out_emb_size
 
 
-def preset(codebook_size: int = 4096, downsampling: int = 1) -> Vq3dConfig:
+def preset(codebook_size=4096, downsampling: int = 1) -> Vq3dConfig:
+    """Config for a released variant.
+
+    ``codebook_size`` of ``None`` (or ``"continuous"``) selects the continuous
+    ablation — NoQuantizer pass-through with the 64k geometry (down_proj to 6
+    dims, ``use_codebook: false``), per the reference's
+    ``ablation_continuous_df_*.yaml``.
+    """
+    continuous = codebook_size in (None, "continuous")
+    if continuous:
+        codebook_size = 64000  # layout donor: 6-dim codes
     if codebook_size not in FSQ_LEVELS:
         raise ValueError(f"unknown codebook size {codebook_size}")
     if downsampling not in (1, 2, 4):
@@ -129,7 +139,7 @@ def preset(codebook_size: int = 4096, downsampling: int = 1) -> Vq3dConfig:
         ),
         down_sampler=down,
         down_proj_dim=len(levels),
-        fsq=FsqConfig(levels=levels, renorm=False),
+        fsq=None if continuous else FsqConfig(levels=levels, renorm=False),
         up_proj_dim=128,
         up_sampler=up,
         down_local_attn=True,
@@ -161,6 +171,8 @@ def preset(codebook_size: int = 4096, downsampling: int = 1) -> Vq3dConfig:
     )
 
 
-def preset_name(codebook_size: int, downsampling: int) -> str:
+def preset_name(codebook_size, downsampling: int) -> str:
+    if codebook_size in (None, "continuous"):
+        return f"continuous_df_{downsampling}"
     surname = {432: "0.5k", 1728: "1.7k", 4096: "4k", 64000: "64k"}[codebook_size]
     return f"{surname}_df_{downsampling}"
