@@ -60,9 +60,50 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_batch_from_local(mesh: Mesh, tree, global_batch: int):
+    """Assemble a globally-sharded batch from *process-local* rows.
+
+    Multi-host input pipeline: each host featurizes only its own
+    ``process_local_slice`` of the global batch (the reference featurizes the
+    full batch on every host, inference_runner.py:288-301) and contributes its
+    rows directly to the sharded global array — no cross-host data transfer,
+    no redundant host work.  Single-process runs degrade to ``shard_batch``.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, tree)
+    sharding = batch_sharding(mesh)
+
+    def to_global(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape=(global_batch,) + x.shape[1:]
+        )
+
+    return jax.tree_util.tree_map(to_global, tree)
+
+
 def replicate(mesh: Mesh, tree):
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_rows(arr) -> np.ndarray:
+    """This host's contiguous rows of a batch-sharded array, in batch order.
+
+    The inverse of :func:`shard_batch_from_local` for result fetching: every
+    host gets exactly the rows its own devices hold (all rows in
+    single-process runs), without a cross-host gather.
+    """
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    seen, parts = set(), []
+    for s in shards:  # replicated-per-device arrays repeat indices; dedupe
+        key = s.index[0].start or 0
+        if key not in seen:
+            seen.add(key)
+            parts.append(np.asarray(s.data))
+    return np.concatenate(parts, axis=0)
 
 
 def global_batch_size(mesh: Mesh, per_device: int) -> int:

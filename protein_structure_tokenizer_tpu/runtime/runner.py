@@ -182,7 +182,10 @@ class InferenceRunner:
         per-stage host annotations (featurize/collate/device/save).
         """
         if token_save_path is not None:
-            os.makedirs(token_save_path, exist_ok=False)
+            # Reference semantics: refuse to overwrite an existing output dir
+            # (inference_runner.py:265).  Only process 0 enforces it; other
+            # hosts race in after.
+            os.makedirs(token_save_path, exist_ok=jax.process_index() != 0)
         timers = StageTimers()
 
         global_batch = mesh_lib.global_batch_size(self.mesh, batch_size_per_device)
@@ -200,23 +203,31 @@ class InferenceRunner:
                 pass
 
         with device_trace(profile_dir):
+            local = mesh_lib.process_local_slice(self.mesh, global_batch)
             for it in iterator:
                 chunk = padded_paths[it * global_batch : (it + 1) * global_batch]
                 start = time.perf_counter()
                 with timers.annotated_stage("featurize"):
-                    graphs = self.featurize(chunk)
+                    # Each host featurizes only the rows it feeds to its own
+                    # devices; single-process runs featurize everything.
+                    graphs = self.featurize(chunk[local])
                 with timers.annotated_stage("collate+shard"):
-                    batch = collate_graphs(graphs)
-                    batch = mesh_lib.shard_batch(self.mesh, batch)
+                    local_batch = collate_graphs(graphs)
+                    batch = mesh_lib.shard_batch_from_local(
+                        self.mesh, local_batch, global_batch
+                    )
                 with timers.annotated_stage("device"):
                     out = self.tokenize_fn(self.params, batch)
-                    tokens = np.asarray(jax.device_get(out["tokens"]))
-                n_tokens = np.asarray(batch.tokens_mask).reshape(global_batch, -1).sum(axis=1)
+                    tokens = mesh_lib.local_rows(out["tokens"])
+                n_tokens = np.asarray(local_batch.tokens_mask).reshape(
+                    len(graphs), -1
+                ).sum(axis=1)
                 logger.info(
                     "tokenized %d structures in %.3fs", global_batch, time.perf_counter() - start
                 )
                 with timers.annotated_stage("save"):
-                    for row, path in enumerate(chunk):
+                    # Each host writes only its own rows (process-sharded IO).
+                    for row, path in enumerate(chunk[local]):
                         name = os.path.basename(path).split(".pdb")[0]
                         token_array = tokens[row : row + 1, : int(n_tokens[row])]
                         results[name] = token_array
