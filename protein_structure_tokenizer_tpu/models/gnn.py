@@ -89,10 +89,20 @@ def _message_layer(
     nodes_mask: jax.Array,  # (B, N, 1)
     canonical_receivers: bool,
     exact: bool,
+    use_pallas: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     dim = config.hidden_dimension
     batch, num_nodes, _ = node_feats.shape
     num_edges = edge_feats.shape[1]
+
+    fast = canonical_receivers and not exact
+    if use_pallas is None:
+        # Opt-in for now: on the current TPU generation XLA's schedule of the
+        # decomposed jnp path beats the fused kernels (66 vs 77 ms on the
+        # CASP14 batch) — the kernels remain available for explicit use and
+        # larger-K regimes.
+        use_pallas = False
+    use_pallas = use_pallas and fast and layer_cls == "MPNNLayer"
     if layer_cls == "MPNNLayer":
         activation = jax.nn.gelu
         node_mlp0 = [p[f"node_mlp_0/~/linear_{i}"] for i in range(3)]
@@ -106,6 +116,22 @@ def _message_layer(
     else:
         raise ValueError(f"unknown gnn layer class {layer_cls!r}")
 
+    def message_preact(feats: jax.Array, first) -> jax.Array:
+        """First MLP layer via the decomposed concat-matmul -> (B, N, K, D')."""
+        d_f = feats.shape[-1]
+        w_s, w_r, w_e = jnp.split(first["w"], [d_f, 2 * d_f], axis=0)
+        k = num_edges // num_nodes
+        sender_proj = jnp.matmul(feats, w_s, preferred_element_type=feats.dtype)
+        receiver_proj = (
+            jnp.matmul(feats, w_r, preferred_element_type=feats.dtype) + first["b"]
+        )
+        edge_proj = jnp.matmul(edge_feats, w_e, preferred_element_type=feats.dtype)
+        return (
+            _gather_nodes(sender_proj, senders).reshape(batch, num_nodes, k, -1)
+            + receiver_proj[:, :, None]
+            + edge_proj.reshape(batch, num_nodes, k, -1)
+        )
+
     def messages_from(feats: jax.Array, params_list) -> jax.Array:
         if canonical_receivers and not exact:
             # Decompose the concat-matmul: [s; r; e] @ W == s@Ws + r@Wr + e@We.
@@ -115,21 +141,7 @@ def _message_layer(
             # (B, E, 3D) concat intermediate never exists.  Summation order
             # differs from the fused matmul at f32 ulp level — exact mode
             # keeps the reference's order.
-            first = params_list[0]
-            d_f = feats.shape[-1]
-            d_e = edge_feats.shape[-1]
-            w_s, w_r, w_e = jnp.split(first["w"], [d_f, 2 * d_f], axis=0)
-            k = num_edges // num_nodes
-            sender_proj = jnp.matmul(feats, w_s, preferred_element_type=feats.dtype)
-            receiver_proj = (
-                jnp.matmul(feats, w_r, preferred_element_type=feats.dtype) + first["b"]
-            )
-            edge_proj = jnp.matmul(edge_feats, w_e, preferred_element_type=feats.dtype)
-            h = (
-                _gather_nodes(sender_proj, senders).reshape(batch, num_nodes, k, -1)
-                + receiver_proj[:, :, None]
-                + edge_proj.reshape(batch, num_nodes, k, -1)
-            )
+            h = message_preact(feats, params_list[0])
             h = mlp(params_list[1:], activation(h), activation)
             return h.reshape(batch, num_edges, -1)
         msg_in = jnp.concatenate(
@@ -140,13 +152,33 @@ def _message_layer(
 
     # Node update: aggregate incoming messages, normalize by the (static)
     # neighbor count, residual + masked LN, then a feed-forward block.
-    agg = _aggregate(
-        messages_from(node_feats, node_mlp0),
-        receivers,
-        num_nodes,
-        canonical_receivers,
-        exact,
-    )
+    if use_pallas:
+        # Fused Pallas path (ops/gnn_kernels.py): the MLP tail and the K-axis
+        # reduction run in one VMEM-resident kernel — one HBM pass over the
+        # edge table instead of ~5.
+        from protein_structure_tokenizer_tpu.ops.gnn_kernels import (
+            fused_edge_update,
+            fused_message_aggregate,
+        )
+
+        k = num_edges // num_nodes
+        h0 = message_preact(node_feats, node_mlp0[0]).reshape(-1, dim)
+        agg = fused_message_aggregate(
+            h0,
+            node_mlp0[1]["w"],
+            node_mlp0[1]["b"],
+            node_mlp0[2]["w"],
+            node_mlp0[2]["b"],
+            k=k,
+        ).reshape(batch, num_nodes, dim)
+    else:
+        agg = _aggregate(
+            messages_from(node_feats, node_mlp0),
+            receivers,
+            num_nodes,
+            canonical_receivers,
+            exact,
+        )
     if config.graph_max_neighbor > 0:
         agg = agg / config.graph_max_neighbor
     else:
@@ -157,6 +189,24 @@ def _message_layer(
     node_feats = masked_layer_norm(p["norm_msg_1"], node_feats + ffn, nodes_mask)
 
     # Edge update from the *updated* node features.
+    if use_pallas:
+        h0e = message_preact(node_feats, edge_mlp[0]).reshape(-1, dim)
+        row_mask = jnp.broadcast_to(
+            nodes_mask[:, :, None], (batch, num_nodes, k, 1)
+        ).reshape(-1, 1)
+        edge_out = fused_edge_update(
+            h0e,
+            edge_feats.reshape(-1, dim),
+            row_mask,
+            edge_mlp[1]["w"],
+            edge_mlp[1]["b"],
+            edge_mlp[2]["w"],
+            edge_mlp[2]["b"],
+            p["norm_msg_2"]["scale"],
+            p["norm_msg_2"]["offset"],
+        ).reshape(batch, num_edges, dim)
+        return edge_out, node_feats
+
     edge_msg = messages_from(node_feats, edge_mlp)
     edge_upd = edge_feats + edge_msg
     if config.graph_max_neighbor > 0:
@@ -180,6 +230,7 @@ def graph_neural_network(
     *,
     canonical_receivers: bool = True,
     exact: bool = False,
+    use_pallas: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Stack of message-passing layers; returns (node_feats, edge_feats).
 
@@ -201,6 +252,7 @@ def graph_neural_network(
             nodes_mask,
             canonical_receivers,
             exact,
+            use_pallas,
         )
     return node_feats, edge_feats
 

@@ -60,7 +60,13 @@ def invariant_point_attention(
     inputs_2d: jax.Array,  # (B, N, N, C2)
     mask: jax.Array,  # (B, N, 1)
     affine: QuatRigid,  # batch shape (B, N)
+    *,
+    exact: bool = False,
 ) -> jax.Array:
+    """IPA.  ``exact=True`` reproduces the reference's broadcast-subtract
+    formulas bit-for-bit (folding.py:225-241); the default fast mode uses the
+    algebraically-equal matmul forms (|q-k|^2 = |q|^2+|k|^2-2qk on the MXU,
+    einsum for point values) — f32 throughout, drift at cancellation level."""
     batch, num_res, _ = inputs_1d.shape
     h = cfg.num_head
     sqk, sv = cfg.num_scalar_qk, cfg.num_scalar_v
@@ -93,15 +99,27 @@ def invariant_point_attention(
     trainable_pw = jax.nn.softplus(p[""]["trainable_point_weights"])  # (h,)
     head_point_weights = point_weights * trainable_pw  # (h,)
 
-    # Point distances: (B, h, Nq, Nk) via f32 broadcast + reduce.
     qp = jnp.transpose(q_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3)
     kp = jnp.transpose(k_point, (0, 3, 1, 4, 2))
-    dist2 = jnp.sum(
-        jnp.square(qp[:, :, :, None, :, :] - kp[:, :, None, :, :, :]), axis=-1
-    )  # (B, h, Nq, Nk, P)
-    attn_qk_point = -0.5 * jnp.sum(
-        head_point_weights[None, :, None, None, None] * dist2, axis=-1
-    )
+    if exact:
+        # Reference form: broadcast-subtract then reduce — materializes a
+        # (B, h, Nq, Nk, P) intermediate but is bit-identical to folding.py.
+        dist2 = jnp.sum(
+            jnp.square(qp[:, :, :, None, :, :] - kp[:, :, None, :, :, :]), axis=-1
+        )  # (B, h, Nq, Nk, P)
+        attn_qk_point = -0.5 * jnp.sum(
+            head_point_weights[None, :, None, None, None] * dist2, axis=-1
+        )
+    else:
+        # |q-k|^2 summed over points = |q|^2 + |k|^2 - 2 q.k: the cross term
+        # is one MXU contraction over P*3=12 dims, no O(N^2 P) intermediate.
+        qn = jnp.sum(qp * qp, axis=(-1, -2))  # (B, h, N)
+        kn = jnp.sum(kp * kp, axis=(-1, -2))
+        cross = jnp.einsum(
+            "bhqpc,bhkpc->bhqk", qp, kp, preferred_element_type=jnp.float32
+        )
+        sum_dist2 = qn[..., :, None] + kn[..., None, :] - 2.0 * cross
+        attn_qk_point = -0.5 * head_point_weights[None, :, None, None] * sum_dist2
 
     q = jnp.swapaxes(scalar_weights * q_scalar, -2, -3)  # (B, h, N, sqk)
     k = jnp.swapaxes(k_scalar, -2, -3)
@@ -122,11 +140,16 @@ def invariant_point_attention(
     result_scalar = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
     result_scalar = jnp.swapaxes(result_scalar, -2, -3).reshape(batch, num_res, h * sv)
 
-    # Float32 multiply+reduce for point values (no matmul).
     vp = jnp.transpose(v_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3)
-    result_point_global = jnp.sum(
-        attn[..., None, None] * vp[:, :, None, :, :, :], axis=-3
-    )  # (B, h, Nq, P, 3)
+    if exact:
+        # Float32 multiply+reduce (the reference's TPU trick, folding.py:233-241).
+        result_point_global = jnp.sum(
+            attn[..., None, None] * vp[:, :, None, :, :, :], axis=-3
+        )  # (B, h, Nq, P, 3)
+    else:
+        result_point_global = jnp.einsum(
+            "bhqk,bhkpc->bhqpc", attn, vp, preferred_element_type=jnp.float32
+        )
     result_point_global = jnp.transpose(result_point_global, (0, 2, 4, 1, 3)).reshape(
         batch, num_res, 3, h * pv
     )
@@ -199,6 +222,8 @@ def fold_iteration(
     sequence_mask: jax.Array,
     initial_act: jax.Array,
     static_feat_2d: jax.Array,
+    *,
+    exact: bool = False,
 ) -> tuple[dict, dict]:
     affine = QuatRigid.from_tensor(activations["affine"])
     act = activations["act"]
@@ -210,6 +235,7 @@ def fold_iteration(
         static_feat_2d,
         sequence_mask,
         affine,
+        exact=exact,
     )
     act = act + attn
     act = layer_norm(p["attention_layer_norm"], act)
@@ -245,6 +271,8 @@ def structure_module(
     representations: dict,  # {"single": (B,N,Cs), "pair": (B,N,N,Cz)}
     features: dict,  # {"aatype": (B,N,21) one-hot, "atom37_gt_exists": (B,N,37)}
     sequence_mask: jax.Array,  # (B, N, 1)
+    *,
+    exact: bool = False,
 ) -> dict:
     act = layer_norm(params["single_layer_norm"], representations["single"])
     initial_act = act
@@ -259,7 +287,7 @@ def structure_module(
 
     def step(carry, _):
         new_carry, out = fold_iteration(
-            fold_params, cfg, carry, sequence_mask, initial_act, act_2d
+            fold_params, cfg, carry, sequence_mask, initial_act, act_2d, exact=exact
         )
         return new_carry, out
 

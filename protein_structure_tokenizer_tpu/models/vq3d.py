@@ -78,6 +78,7 @@ def structure_encoder(
     *,
     canonical_receivers: bool = True,
     exact_aggregation: bool = False,
+    use_pallas: bool | None = None,
 ):
     """Node/edge embeddings: purely positional node init, geometry via edges."""
     enc = cfg.encoder
@@ -105,6 +106,7 @@ def structure_encoder(
         graph.nodes_mask,
         canonical_receivers=canonical_receivers,
         exact=exact_aggregation,
+        use_pallas=use_pallas,
     )
 
 
@@ -153,6 +155,7 @@ def encode(
     *,
     canonical_receivers: bool = True,
     exact_aggregation: bool = False,
+    use_pallas: bool | None = None,
 ):
     """Graph -> (continuous embedding (B,T,D_codes), pre-projection (B,T,128))."""
     nodes_emb, _ = structure_encoder(
@@ -161,6 +164,7 @@ def encode(
         graph,
         canonical_receivers=canonical_receivers,
         exact_aggregation=exact_aggregation,
+        use_pallas=use_pallas,
     )
 
     attn_mask = _down_attention_mask(
@@ -236,6 +240,7 @@ def encode_and_quantize(
     usage_reduce_axis: Optional[str] = None,
     canonical_receivers: bool = True,
     exact_aggregation: bool = False,
+    use_pallas: bool | None = None,
 ):
     continuous, pre_proj = encode(
         params,
@@ -243,6 +248,7 @@ def encode_and_quantize(
         graph,
         canonical_receivers=canonical_receivers,
         exact_aggregation=exact_aggregation,
+        use_pallas=use_pallas,
     )
     _, out = quantize_embedding(
         params,
@@ -323,6 +329,8 @@ def decode_and_make_structure(
     quantized: jax.Array,
     nodes_mask: jax.Array,
     tokens_mask: jax.Array,
+    *,
+    exact_ipa: bool = False,
 ) -> dict:
     _, s_i, z_ij = decode(params, cfg, quantized, nodes_mask, tokens_mask)
     batch, num_res = s_i.shape[:2]
@@ -333,6 +341,7 @@ def decode_and_make_structure(
         {"single": s_i, "pair": z_ij},
         features,
         nodes_mask,
+        exact=exact_ipa,
     )
 
 
@@ -347,6 +356,7 @@ def forward(
     usage_reduce_axis: Optional[str] = None,
     canonical_receivers: bool = True,
     exact_aggregation: bool = False,
+    exact_ipa: bool = False,
 ):
     """Full autoencoder pass -> (decoded_structure, quantizer_output)."""
     graph = batch.graph
@@ -380,6 +390,7 @@ def forward(
         {"single": s_i, "pair": z_ij},
         batch.features,
         graph.nodes_mask,
+        exact=exact_ipa,
     )
     return decoded, out
 

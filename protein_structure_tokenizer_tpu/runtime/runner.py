@@ -131,7 +131,8 @@ class InferenceRunner:
         )
         def _decode(params, quantized, nodes_mask, tokens_mask):
             out = vq3d.decode_and_make_structure(
-                params, cfg, quantized, nodes_mask, tokens_mask
+                params, cfg, quantized, nodes_mask, tokens_mask,
+                exact_ipa=exact_aggregation,
             )
             return {
                 "final_atom_positions": out["final_atom_positions"],

@@ -33,6 +33,41 @@ def test_fsq_distances_kernel_matches_jnp(levels):
     )
 
 
+def test_gnn_pallas_layer_matches_jnp():
+    """Fused Pallas message kernels vs the jnp fast path on a full GNN stack."""
+    from protein_structure_tokenizer_tpu.models.gnn import (
+        GnnConfig,
+        graph_neural_network,
+        graph_neural_network_init,
+    )
+
+    cfg = GnnConfig(hidden_dimension=128, gnn_number_layers=2, graph_max_neighbor=4)
+    rng = np.random.RandomState(0)
+    b, n, k, d = 2, 16, 4, 128
+    nodes = jnp.asarray(rng.randn(b, n, d).astype(np.float32) * 0.3)
+    edges = jnp.asarray(rng.randn(b, n * k, d).astype(np.float32) * 0.3)
+    senders = jnp.asarray(rng.randint(0, n, size=(b, n * k)).astype(np.int32))
+    receivers = jnp.asarray(np.tile(np.repeat(np.arange(n), k)[None], (b, 1)).astype(np.int32))
+    mask = jnp.asarray((rng.rand(b, n, 1) > 0.2).astype(np.float32))
+    params = graph_neural_network_init(jax.random.PRNGKey(0), cfg)
+
+    ref_nodes, ref_edges = graph_neural_network(
+        params, cfg, nodes, edges, senders, receivers, mask, use_pallas=False
+    )
+    try:
+        our_nodes, our_edges = graph_neural_network(
+            params, cfg, nodes, edges, senders, receivers, mask, use_pallas=True
+        )
+    except Exception as exc:
+        pytest.skip(f"pallas unavailable on {jax.default_backend()}: {exc}")
+    np.testing.assert_allclose(
+        np.asarray(our_nodes), np.asarray(ref_nodes), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_edges), np.asarray(ref_edges), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_quantize_distances_paths_agree():
     """quantize(compute_distances=True) jnp vs pallas paths produce the same
     soft_proba/distances."""

@@ -25,6 +25,52 @@ from protein_structure_tokenizer_tpu.models.layers import af2_linear, layer_norm
 from protein_structure_tokenizer_tpu.utils.params import subtree
 
 
+def test_ipa_fast_matches_exact():
+    """Matmul-form IPA (default) vs the reference-order exact mode: the
+    algebra is identical, drift is cancellation-level only."""
+    import jax
+
+    from protein_structure_tokenizer_tpu.models.structure_module import (
+        structure_module_init,
+    )
+
+    cfg = StructureModuleConfig(
+        num_layer=2,
+        num_channel=64,
+        num_head=4,
+        num_point_qk=4,
+        num_point_v=8,
+        num_scalar_qk=16,
+        num_scalar_v=16,
+        pair_channel=32,
+        single_channel=64,
+    )
+    rng = np.random.RandomState(0)
+    b, n = 2, 24
+    params = subtree(
+        structure_module_init(jax.random.PRNGKey(0), cfg),
+        "fold_iteration/invariant_point_attention",
+    )
+    act = jnp.asarray(rng.randn(b, n, cfg.num_channel).astype(np.float32))
+    act2d = jnp.asarray(rng.randn(b, n, n, cfg.pair_channel).astype(np.float32))
+    mask = jnp.asarray((np.arange(n) < 20).astype(np.float32))[None, :, None]
+    mask = jnp.broadcast_to(mask, (b, n, 1))
+    affine = QuatRigid.from_tensor(
+        jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (b, n, 4)),
+                jnp.asarray(rng.randn(b, n, 3).astype(np.float32)),
+            ],
+            axis=-1,
+        )
+    )
+    out_exact = invariant_point_attention(params, cfg, act, act2d, mask, affine, exact=True)
+    out_fast = invariant_point_attention(params, cfg, act, act2d, mask, affine, exact=False)
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(out_exact), rtol=1e-4, atol=1e-4
+    )
+
+
 @requires_reference
 def test_fold_loop_bitwise():
     from refmodel import import_reference, load_reference_config
@@ -87,6 +133,7 @@ def test_fold_loop_bitwise():
             jnp.asarray(mask)[None],
             initial_act,
             act2d,
+            exact=True,  # reference-order IPA formulas for the bitwise claim
         )
         np.testing.assert_allclose(
             np.asarray(activations["act"])[0],
