@@ -45,6 +45,10 @@ class AttentionConfig:
 @dataclasses.dataclass(frozen=True)
 class TransitionConfig:
     num_intermediate_factor: int = 2
+    # Low-memory evaluation: apply the MLP in chunks of this many rows along
+    # the sequence axis (the reference's inference_subbatch, mapping.py:214).
+    # None = whole-sequence (fastest; right for N <= 512 on TPU).
+    chunk_size: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,10 +122,18 @@ def cross_attention_init(key, cfg: AttentionConfig, q_dim: int, m_dim: int) -> P
 
 def transition(p: Params, cfg: TransitionConfig, act: jax.Array) -> jax.Array:
     """AF2 MSATransition: LN -> Linear(relu) -> relu -> Linear."""
-    act = layer_norm(p["input_layer_norm"], act)
-    act = af2_linear(p["transition1"], act)
-    act = jax.nn.relu(act)
-    return af2_linear(p["transition2"], act)
+
+    def body(x):
+        x = layer_norm(p["input_layer_norm"], x)
+        x = af2_linear(p["transition1"], x)
+        x = jax.nn.relu(x)
+        return af2_linear(p["transition2"], x)
+
+    if cfg.chunk_size is not None:
+        from protein_structure_tokenizer_tpu.utils.chunking import chunked_apply
+
+        return chunked_apply(body, act, chunk_size=cfg.chunk_size, axis=-2)
+    return body(act)
 
 
 def transition_init(key, cfg: TransitionConfig, dim: int) -> Params:
