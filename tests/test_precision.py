@@ -1,0 +1,60 @@
+"""Mixed-precision policy wrapper."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from protein_structure_tokenizer_tpu.runtime.precision import (
+    cast_floats,
+    mixed_precision_policy,
+)
+
+
+def test_cast_floats_leaves_ints_alone():
+    tree = {"w": jnp.ones((2,), jnp.float32), "idx": jnp.arange(3)}
+    out = cast_floats(tree, jnp.bfloat16)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["idx"].dtype == jnp.int32
+
+
+def test_policy_computes_in_bf16_outputs_f32():
+    seen = {}
+
+    def fn(params, x):
+        seen["dtype"] = x.dtype
+        return {"y": x @ params["w"], "n": jnp.int32(1)}
+
+    wrapped = mixed_precision_policy(fn)
+    params = {"w": jnp.eye(4, dtype=jnp.float32)}
+    x = jnp.ones((2, 4), jnp.float32)
+    out = wrapped(params, x)
+    assert seen["dtype"] == jnp.bfloat16
+    assert out["y"].dtype == jnp.float32
+    assert out["n"].dtype == jnp.int32
+    np.testing.assert_allclose(np.asarray(out["y"]), np.ones((2, 4)), rtol=1e-2)
+
+
+def test_policy_on_tokenizer_encode():
+    """bf16 policy runs the full encode path and produces valid token ids."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _synthetic_graph
+    from protein_structure_tokenizer_tpu.models import vq3d
+    from protein_structure_tokenizer_tpu.models.config import preset
+
+    cfg = preset(4096, 1)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    graph = _synthetic_graph(1, 512, 50, 1, 96)
+
+    fn = mixed_precision_policy(
+        lambda p, g: vq3d.encode_and_quantize(p, cfg, g, compute_usage=False)
+    )
+    out = fn(params, graph)
+    tokens = np.asarray(out["tokens"])
+    assert tokens.dtype == np.uint32
+    assert tokens.max() < 4096
+
+    f32 = vq3d.encode_and_quantize(params, cfg, graph, compute_usage=False)
+    match = (tokens == np.asarray(f32["tokens"]))[:, :96].mean()
+    assert match > 0.9, f"bf16 token agreement unexpectedly low: {match}"
