@@ -203,3 +203,137 @@ def restype_atom37_to_atom14() -> np.ndarray:
 # Standard (full-chain) rigid-group frame tables are intentionally absent: the
 # released decoder only ever reconstructs backbones (SURVEY.md §2.4), so the
 # backbone-only tables above are the complete surface needed for parity.
+
+
+# ---------------------------------------------------------------------------
+# Stereochemistry tables for torsion extraction and violation metrics
+# (Engh & Huber values as tabulated by AlphaFold-2; cf. the reference's
+# residue_constants.py:29,34-139,407-413,520-534).
+# ---------------------------------------------------------------------------
+
+# Idealized consecutive CA-CA distance (Angstrom).
+CA_CA_DISTANCE = 3.80209737096
+
+# Between-residue C-N peptide-bond length (general, to-proline) and stddevs.
+BETWEEN_RES_BOND_LENGTH_C_N = (1.329, 1.341)
+BETWEEN_RES_BOND_LENGTH_STDDEV_C_N = (0.014, 0.016)
+
+# Between-residue bond-angle cosines (mean, stddev).
+BETWEEN_RES_COS_ANGLES_C_N_CA = (-0.5203, 0.0353)  # 121.352 +- 2.315 deg
+BETWEEN_RES_COS_ANGLES_CA_C_N = (-0.4473, 0.0311)  # 116.568 +- 1.995 deg
+
+# Van der Waals radii (Angstrom) keyed by element = first letter of atom name.
+VAN_DER_WAALS_RADIUS: Dict[str, float] = {"C": 1.7, "N": 1.55, "O": 1.52, "S": 1.8}
+
+# The four atoms defining each sidechain chi dihedral, per residue
+# (chi5 of ARG is essentially constant and ignored, as in AF2).
+CHI_ANGLES_ATOMS: Dict[str, List[List[str]]] = {
+    "ALA": [],
+    "ARG": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "CD"],
+            ["CB", "CG", "CD", "NE"], ["CG", "CD", "NE", "CZ"]],
+    "ASN": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "OD1"]],
+    "ASP": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "OD1"]],
+    "CYS": [["N", "CA", "CB", "SG"]],
+    "GLN": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "CD"],
+            ["CB", "CG", "CD", "OE1"]],
+    "GLU": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "CD"],
+            ["CB", "CG", "CD", "OE1"]],
+    "GLY": [],
+    "HIS": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "ND1"]],
+    "ILE": [["N", "CA", "CB", "CG1"], ["CA", "CB", "CG1", "CD1"]],
+    "LEU": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "CD1"]],
+    "LYS": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "CD"],
+            ["CB", "CG", "CD", "CE"], ["CG", "CD", "CE", "NZ"]],
+    "MET": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "SD"],
+            ["CB", "CG", "SD", "CE"]],
+    "PHE": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "CD1"]],
+    "PRO": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "CD"]],
+    "SER": [["N", "CA", "CB", "OG"]],
+    "THR": [["N", "CA", "CB", "OG1"]],
+    "TRP": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "CD1"]],
+    "TYR": [["N", "CA", "CB", "CG"], ["CA", "CB", "CG", "CD1"]],
+    "VAL": [["N", "CA", "CB", "CG1"]],
+}
+
+# Chi angles that are pi-periodic (sidechain symmetric under a pi rotation),
+# keyed by residue name -> 1-based chi index.
+_PI_PERIODIC_CHI: Dict[str, int] = {"ASP": 2, "GLU": 3, "PHE": 2, "TYR": 2}
+
+# Symmetric sidechain atoms whose names are ambiguous (lDDT paper table,
+# reduced to the 4 residues where geometry cannot disambiguate).
+RESIDUE_ATOM_RENAMING_SWAPS: Dict[str, Dict[str, str]] = {
+    "ASP": {"OD1": "OD2"},
+    "GLU": {"OE1": "OE2"},
+    "PHE": {"CD1": "CD2", "CE1": "CE2"},
+    "TYR": {"CD1": "CD2", "CE1": "CE2"},
+}
+
+
+@functools.lru_cache(maxsize=1)
+def chi_angles_mask() -> np.ndarray:
+    """(21, 4) which chi angles exist per restype (UNK row zero)."""
+    mask = np.zeros([21, 4], dtype=np.float32)
+    for restype, letter in enumerate(RESTYPES):
+        mask[restype, : len(CHI_ANGLES_ATOMS[RESTYPE_1TO3[letter]])] = 1.0
+    return mask
+
+
+@functools.lru_cache(maxsize=1)
+def chi_pi_periodic() -> np.ndarray:
+    """(21, 4) flags for chi angles that are pi-periodic."""
+    flags = np.zeros([21, 4], dtype=np.float32)
+    for restype, letter in enumerate(RESTYPES):
+        chi = _PI_PERIODIC_CHI.get(RESTYPE_1TO3[letter])
+        if chi is not None:
+            flags[restype, chi - 1] = 1.0
+    return flags
+
+
+@functools.lru_cache(maxsize=1)
+def chi_atom37_indices() -> np.ndarray:
+    """(21, 4, 4) atom37 indices of the 4 atoms defining each chi (0-padded)."""
+    table = np.zeros([21, 4, 4], dtype=np.int32)
+    for restype, letter in enumerate(RESTYPES):
+        for chi, atoms in enumerate(CHI_ANGLES_ATOMS[RESTYPE_1TO3[letter]]):
+            table[restype, chi] = [ATOM_ORDER[a] for a in atoms]
+    return table
+
+
+@functools.lru_cache(maxsize=1)
+def atom14_van_der_waals_radius() -> np.ndarray:
+    """(21, 14) per-slot Van der Waals radius (0 for absent slots)."""
+    radius = np.zeros([21, 14], dtype=np.float32)
+    for restype, letter in enumerate(RESTYPES):
+        names = RESTYPE_NAME_TO_ATOM14_NAMES[RESTYPE_1TO3[letter]]
+        radius[restype] = [VAN_DER_WAALS_RADIUS[n[0]] if n else 0.0 for n in names]
+    return radius
+
+
+@functools.lru_cache(maxsize=1)
+def atom14_renaming_tables():
+    """Ambiguous-atom swap tables in the atom14 layout.
+
+    Returns (perm, ambiguous): perm (21, 14) int32 maps each slot to its
+    name-swapped partner (identity where unambiguous); ambiguous (21, 14)
+    float32 flags the swapped slots.
+    """
+    perm = np.tile(np.arange(14, dtype=np.int32), [21, 1])
+    ambiguous = np.zeros([21, 14], dtype=np.float32)
+    for resname, swaps in RESIDUE_ATOM_RENAMING_SWAPS.items():
+        restype = RESTYPE_ORDER[RESTYPE_3TO1[resname]]
+        names = RESTYPE_NAME_TO_ATOM14_NAMES[resname]
+        for a, b in swaps.items():
+            ia, ib = names.index(a), names.index(b)
+            perm[restype, ia], perm[restype, ib] = ib, ia
+            ambiguous[restype, ia] = ambiguous[restype, ib] = 1.0
+    return perm, ambiguous
+
+
+@functools.lru_cache(maxsize=1)
+def atom14_mask() -> np.ndarray:
+    """(21, 14) which atom14 slots exist per residue type (UNK row zero)."""
+    mask = np.zeros([21, 14], dtype=np.float32)
+    for restype, letter in enumerate(RESTYPES):
+        names = RESTYPE_NAME_TO_ATOM14_NAMES[RESTYPE_1TO3[letter]]
+        mask[restype] = [1.0 if n else 0.0 for n in names]
+    return mask

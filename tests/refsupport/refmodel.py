@@ -28,10 +28,15 @@ def _ensure_paths():
 
 def _patch_legacy_jax():
     """Backfill jax APIs the reference uses that moved after 0.4.x."""
+    import collections
+    import collections.abc
     import jax
 
     if not hasattr(jax, "tree_map"):
         jax.tree_map = jax.tree_util.tree_map
+    # py3.10 removed the collections.Iterable alias (utils.mask_mean uses it).
+    if not hasattr(collections, "Iterable"):
+        collections.Iterable = collections.abc.Iterable
     # jax.numpy.clip(a_max=...) was renamed; random_sampling uses a_max.
     # (only needed for the LM random baseline; skip unless it breaks.)
 
