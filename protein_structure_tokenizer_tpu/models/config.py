@@ -171,6 +171,62 @@ def preset(codebook_size=4096, downsampling: int = 1) -> Vq3dConfig:
     )
 
 
+def tiny_preset(
+    *, seq_max: int = 16, k: int = 4, downsampling: int = 2, dim: int = 16
+) -> Vq3dConfig:
+    """A miniature config with the full architecture topology.
+
+    For CPU-mesh tests and the driver's multi-chip dryrun: every module is
+    present (GNN, both scalers, FSQ, pair rep, IPA) at tiny dims/lengths.
+    """
+
+    def scaler(out_len: int, posenc: bool) -> ScalerConfig:
+        return ScalerConfig(
+            out_emb_size=dim,
+            max_out_len=out_len,
+            sc_num_block=2,
+            use_original_posenc=posenc,
+            positional_encoding_dimension=dim,
+            cross_attn=AttentionConfig(num_head=2),
+            resampled_transition=TransitionConfig(2),
+            original_transition=TransitionConfig(2),
+            use_remat=True,
+        )
+
+    return Vq3dConfig(
+        encoder=EncoderConfig(
+            encoding_dimension=dim,
+            positional_encoding_dimension=dim,
+            gnn=GnnConfig(hidden_dimension=dim, gnn_number_layers=2, graph_max_neighbor=k),
+        ),
+        down_sampler=scaler(seq_max // downsampling, False),
+        down_proj_dim=6,
+        fsq=FsqConfig(levels=(4, 4, 4, 4, 4, 4)),
+        up_proj_dim=dim,
+        up_sampler=scaler(seq_max, True),
+        decoder=SeqDecoderConfig(
+            positional_encoding_dimension=dim,
+            seq_max_size=seq_max,
+            pair_representation=PairRepConfig(output_dim=dim),
+        ),
+        structure_module=StructureModuleConfig(
+            num_layer=2,
+            num_channel=32,
+            num_head=2,
+            num_point_qk=2,
+            num_point_v=2,
+            num_scalar_qk=4,
+            num_scalar_v=4,
+            pair_channel=dim,
+            single_channel=dim,
+            sidechain=SidechainConfig(num_channel=16, num_residual_block=1),
+        ),
+        data=DataConfig(
+            seq_max_size=seq_max, graph_max_neighbor=k, downsampling_ratio=downsampling
+        ),
+    )
+
+
 def preset_name(codebook_size, downsampling: int) -> str:
     if codebook_size in (None, "continuous"):
         return f"continuous_df_{downsampling}"
