@@ -9,8 +9,8 @@ all: native
 
 native: $(NATIVE_LIB)
 
-$(NATIVE_LIB): $(NATIVE_DIR)/tmscore.cc $(NATIVE_DIR)/featurize.cc
-	$(CXX) $(CXXFLAGS) $^ -o $@
+$(NATIVE_LIB): $(NATIVE_DIR)/tmscore.cc $(NATIVE_DIR)/tmalign.cc $(NATIVE_DIR)/featurize.cc $(NATIVE_DIR)/geom.h
+	$(CXX) $(CXXFLAGS) $(filter %.cc,$^) -o $@
 
 test:
 	python -m pytest tests/ -x -q

@@ -29,9 +29,12 @@ def main(argv=None) -> None:
     parser.add_argument("--target_dir", type=str, required=True)
     parser.add_argument("--report", type=str, default=None,
                         help=".json or .pkl output path (default: stdout only)")
+    parser.add_argument("--align", action="store_true",
+                        help="Sequence-independent TM-align search (chains may "
+                        "differ in length) instead of 1:1 TM-score")
     args = parser.parse_args(argv)
 
-    report = compare_structure_dirs(args.predicted_dir, args.target_dir)
+    report = compare_structure_dirs(args.predicted_dir, args.target_dir, align=args.align)
     if not report:
         raise FileNotFoundError(
             f"no basename-matched .pdb pairs between {args.predicted_dir} "
@@ -42,7 +45,9 @@ def main(argv=None) -> None:
     n = len(report) - ("__aggregate__" in report)
     logger.info("compared %d structure pairs", n)
     for key in ("tm_mean", "tm_std", "rmsd_mean", "rmsd_std",
-                "gdt_ts_mean", "gdt_ha_mean", "maxsub_mean"):
+                "gdt_ts_mean", "gdt_ha_mean", "maxsub_mean",
+                "tm_norm_a_mean", "tm_norm_b_mean", "rmsd_aligned_mean",
+                "n_aligned_mean"):
         if key in agg:
             logger.info("%s: %.4f", key, agg[key])
 

@@ -103,6 +103,159 @@ def structural_metrics(model_xyz: np.ndarray, target_xyz: np.ndarray) -> Structu
     return _tm_python(model_xyz, target_xyz)
 
 
+@dataclasses.dataclass(frozen=True)
+class AlignMetrics:
+    tm_norm_a: float
+    tm_norm_b: float
+    rmsd_aligned: float
+    n_aligned: int
+    d0_a: float
+    d0_b: float
+
+    def as_dict(self) -> Dict[str, float]:
+        return dataclasses.asdict(self)
+
+
+def _tm_d0(n: int) -> float:
+    return max(1.24 * (n - 15) ** (1.0 / 3.0) - 1.8, 0.5) if n > 21 else 0.5
+
+
+def _needleman_wunsch(s: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Glocal NW (free end gaps) with TM-align's flat gap penalty -0.6."""
+    na, nb = s.shape
+    gap = -0.6
+    val = np.zeros((na + 1, nb + 1))
+    path = np.zeros((na + 1, nb + 1), np.uint8)  # 0 diag, 1 up, 2 left
+    for i in range(1, na + 1):
+        diag = val[i - 1, :-1] + s[i - 1]
+        up = val[i - 1, 1:] + np.where(np.arange(1, nb + 1) == nb, 0.0, gap)
+        row = val[i]
+        for j in range(1, nb + 1):
+            left = row[j - 1] + (0.0 if i == na else gap)
+            best, d = diag[j - 1], 0
+            if up[j - 1] > best:
+                best, d = up[j - 1], 1
+            if left > best:
+                best, d = left, 2
+            row[j] = best
+            path[i, j] = d
+    ia, ib = [], []
+    i, j = na, nb
+    while i > 0 and j > 0:
+        d = path[i, j]
+        if d == 0:
+            ia.append(i - 1)
+            ib.append(j - 1)
+            i -= 1
+            j -= 1
+        elif d == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.array(ia[::-1], np.int64), np.array(ib[::-1], np.int64)
+
+
+def _tm_rotation_search_pairs(a, b, ia, ib, d0, norm_len):
+    """Best-TM superposition restricted to aligned pairs; returns (tm, moved_a)."""
+    d0_sq = d0 * d0
+    n_ali = len(ia)
+    best_tm, best_moved = 0.0, None
+    length = n_ali
+    seed_lens = []
+    while length >= 4:
+        seed_lens.append(length)
+        length //= 2
+    for seed in seed_lens:
+        for start in range(0, n_ali - seed + 1, max(1, seed // 2)):
+            sel = np.arange(start, start + seed)
+            for it in range(20):
+                if len(sel) < 4:
+                    break
+                rot, trans = kabsch_superpose(a[ia[sel]], b[ib[sel]])
+                moved = a @ rot.T + trans
+                dd = np.sum((moved[ia] - b[ib]) ** 2, axis=-1)
+                tm = float(np.sum(1.0 / (1.0 + dd / d0_sq))) / norm_len
+                if tm > best_tm:
+                    best_tm, best_moved = tm, moved
+                d_cut = max(d0 + 1.0 - 0.5 * it, 3.0)
+                nxt = np.where(dd < d_cut * d_cut)[0]
+                if len(nxt) < 4 or (len(nxt) == len(sel) and np.array_equal(nxt, sel)):
+                    break
+                sel = nxt
+    return best_tm, best_moved
+
+
+def _tmalign_python(a: np.ndarray, b: np.ndarray) -> AlignMetrics:
+    """Pure-numpy fallback mirroring the native TM-align search
+    (native/tmalign.cc): gapless-threading seeds -> iterate rotation search
+    with NW dynamic programming until the alignment converges."""
+    na, nb = len(a), len(b)
+    d0a, d0b = _tm_d0(na), _tm_d0(nb)
+    nmin = min(na, nb)
+    d0 = _tm_d0(nmin)
+    d0_sq = d0 * d0
+
+    seeds = []
+    for off in range(-(na - 4), nb - 4 + 1):
+        i0 = max(0, -off)
+        i1 = min(na, nb - off)
+        if i1 - i0 >= 4:
+            ia = np.arange(i0, i1)
+            seeds.append((ia, ia + off))
+    ranked = []
+    for ia, ib in seeds:
+        rot, trans = kabsch_superpose(a[ia], b[ib])
+        moved = a @ rot.T + trans
+        dd = np.sum((moved[ia] - b[ib]) ** 2, axis=-1)
+        ranked.append((float(np.sum(1.0 / (1.0 + dd / d0_sq))) / nmin, ia, ib))
+    ranked.sort(key=lambda x: -x[0])
+
+    best = (-1.0, None, None, None)  # tm, ia, ib, moved
+    for _, ia, ib in ranked[:5]:
+        for _ in range(8):
+            tm, moved = _tm_rotation_search_pairs(a, b, ia, ib, d0, nmin)
+            if moved is None:
+                break
+            if tm > best[0]:
+                best = (tm, ia, ib, moved)
+            dd = np.sum((moved[:, None] - b[None]) ** 2, axis=-1)
+            s = 1.0 / (1.0 + dd / d0_sq)
+            nia, nib = _needleman_wunsch(s)
+            if np.array_equal(nia, ia) and np.array_equal(nib, ib):
+                break
+            ia, ib = nia, nib
+
+    _, ia, ib, moved = best
+    if ia is None:
+        raise ValueError("alignment failed (chains too short?)")
+    dd = np.sum((moved[ia] - b[ib]) ** 2, axis=-1)
+    tm_a = float(np.sum(1.0 / (1.0 + dd / d0a**2))) / na
+    tm_b = float(np.sum(1.0 / (1.0 + dd / d0b**2))) / nb
+    ta, _ = _tm_rotation_search_pairs(a, b, ia, ib, d0a, na)
+    tb, _ = _tm_rotation_search_pairs(a, b, ia, ib, d0b, nb)
+    return AlignMetrics(
+        tm_norm_a=max(tm_a, ta),
+        tm_norm_b=max(tm_b, tb),
+        rmsd_aligned=float(np.sqrt(np.mean(dd))),
+        n_aligned=int(len(ia)),
+        d0_a=d0a,
+        d0_b=d0b,
+    )
+
+
+def align_metrics(a_xyz: np.ndarray, b_xyz: np.ndarray) -> AlignMetrics:
+    """Sequence-independent alignment metrics (TMalign equivalent).
+
+    Unlike :func:`structural_metrics`, chains may differ in length; the
+    residue correspondence is searched (native/tmalign.cc when built).
+    """
+    result = native.tm_align(a_xyz, b_xyz)
+    if result is not None:
+        return AlignMetrics(**{k: result[k] for k in (
+            "tm_norm_a", "tm_norm_b", "rmsd_aligned", "n_aligned", "d0_a", "d0_b")})
+    return _tmalign_python(np.asarray(a_xyz, np.float64), np.asarray(b_xyz, np.float64))
+
+
 def backbone_rmsd(
     pred_atom37: np.ndarray,
     target_atom37: np.ndarray,
@@ -135,12 +288,15 @@ def ca_metrics(
 
 
 def compare_structure_dirs(
-    predicted_dir: str, target_dir: str
+    predicted_dir: str, target_dir: str, *, align: bool = False
 ) -> Dict[str, Dict[str, float]]:
     """Directory-vs-directory comparison report (make_tm_compare equivalent).
 
     Pairs files by basename stem; returns per-structure metrics plus
-    ``__aggregate__`` mean/std entries.
+    ``__aggregate__`` mean/std entries.  ``align=True`` uses the
+    sequence-independent TM-align search (chains may differ in length — the
+    reference's TMalign mode); default assumes 1:1 residue correspondence
+    (its TMscore mode), truncating to the shorter chain.
     """
     from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
 
@@ -158,11 +314,17 @@ def compare_structure_dirs(
     for stem in sorted(set(preds) & set(targets)):
         p = parse_pdb_file(preds[stem])
         t = parse_pdb_file(targets[stem])
-        n = min(p.nb_residues, t.nb_residues)
-        metrics = ca_metrics(
-            p.atom37_positions[:n].astype(np.float64),
-            t.atom37_positions[:n].astype(np.float64),
-        )
+        if align:
+            metrics = align_metrics(
+                p.atom37_positions[:, constants.CA_INDEX].astype(np.float64),
+                t.atom37_positions[:, constants.CA_INDEX].astype(np.float64),
+            )
+        else:
+            n = min(p.nb_residues, t.nb_residues)
+            metrics = ca_metrics(
+                p.atom37_positions[:n].astype(np.float64),
+                t.atom37_positions[:n].astype(np.float64),
+            )
         report[stem] = metrics.as_dict()
         for k, v in report[stem].items():
             values.setdefault(k, []).append(v)

@@ -32,6 +32,15 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.pst_rmsd.restype = ctypes.c_int
     lib.pst_rmsd.argtypes = lib.pst_tm_score.argtypes
+    lib.pst_tm_align.restype = ctypes.c_int
+    lib.pst_tm_align.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.pst_featurize.restype = ctypes.c_int
     lib.pst_featurize.argtypes = [
         ctypes.POINTER(ctypes.c_double),
@@ -82,6 +91,41 @@ def tm_score(model_xyz: np.ndarray, native_xyz: np.ndarray) -> Optional[dict]:
         "gdt_ts": float(out[3]),
         "gdt_ha": float(out[4]),
         "d0": float(out[5]),
+    }
+
+
+def tm_align(a_xyz: np.ndarray, b_xyz: np.ndarray) -> Optional[dict]:
+    """Sequence-independent structural alignment of chain A onto chain B.
+
+    Chains may differ in length; no residue correspondence is assumed
+    (TMalign semantics).  Returns None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a_xyz, dtype=np.float64)
+    b = np.ascontiguousarray(b_xyz, dtype=np.float64)
+    assert a.ndim == 2 and a.shape[1] == 3 and b.ndim == 2 and b.shape[1] == 3
+    out = np.zeros(6, np.float64)
+    ali = np.full((a.shape[0],), -1, np.int32)
+    rc = lib.pst_tm_align(
+        _as_c(a, ctypes.c_double),
+        a.shape[0],
+        _as_c(b, ctypes.c_double),
+        b.shape[0],
+        _as_c(out, ctypes.c_double),
+        _as_c(ali, ctypes.c_int32),
+    )
+    if rc != 0:
+        return None
+    return {
+        "tm_norm_a": float(out[0]),
+        "tm_norm_b": float(out[1]),
+        "rmsd_aligned": float(out[2]),
+        "n_aligned": int(out[3]),
+        "d0_a": float(out[4]),
+        "d0_b": float(out[5]),
+        "alignment": ali,
     }
 
 
