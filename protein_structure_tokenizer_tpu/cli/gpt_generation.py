@@ -22,7 +22,12 @@ logger = logging.getLogger(__name__)
 
 
 def load_gpt_params(path: str):
-    """Released GPT weights: a single joblib pickle of haiku params."""
+    """GPT weights: released joblib pickle of haiku params, or the native
+    ``scope//name`` npz written by cli.train_lm --export_params."""
+    if path.endswith(".npz"):
+        from protein_structure_tokenizer_tpu.runtime import checkpoints
+
+        return checkpoints.load_params(path)
     import joblib
 
     return joblib.load(path)
@@ -47,6 +52,12 @@ def main(argv=None) -> None:
     parser.add_argument("--top_p", type=float, default=0.15)
     parser.add_argument("--num_sequences", type=int, default=128)
     parser.add_argument("--seed", type=int, default=0)
+    # Architecture overrides matching cli.train_lm (for custom-trained LMs;
+    # defaults reproduce the released 20-layer/1024-dim GPT).
+    parser.add_argument("--num_layers", type=int, default=None)
+    parser.add_argument("--embed_dim", type=int, default=None)
+    parser.add_argument("--num_heads", type=int, default=None)
+    parser.add_argument("--block_size", type=int, default=None)
     parser.add_argument("--no_cache", action="store_true",
                         help="reference-equivalent full-forward sampling")
     args = parser.parse_args(argv)
@@ -54,6 +65,22 @@ def main(argv=None) -> None:
     import jax
 
     cfg = gpt.released_gpt_config(args.codebook_size)
+    overrides = {}
+    if args.num_layers is not None:
+        overrides["num_layers"] = args.num_layers
+    if args.embed_dim is not None:
+        overrides["embed_dim"] = args.embed_dim
+        overrides["ffn_embed_dim"] = 4 * args.embed_dim
+        if args.num_heads is None:
+            overrides["num_heads"] = max(1, args.embed_dim // 64)
+    if args.num_heads is not None:
+        overrides["num_heads"] = args.num_heads
+    if args.block_size is not None:
+        overrides["max_position_embeddings"] = args.block_size
+    if overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **overrides)
 
     if args.params_path:
         params = load_gpt_params(args.params_path)

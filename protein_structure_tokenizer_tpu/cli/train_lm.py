@@ -1,0 +1,160 @@
+"""Train the GPT LM on structure-token sequences.
+
+Completes the paper's workflow the reference leaves out (its scripts/lm has
+sampling only — SURVEY.md §2.5): tokenize a corpus with cli.tokenize_pdb,
+train here on the ``*_tokens.npy`` files, then sample with
+cli.gpt_generation and decode with cli.decode_tokens.
+
+Usage:
+  python -m protein_structure_tokenizer_tpu.cli.train_lm \
+      --tokens_dir out/tokens --checkpoint_dir out/lm_ckpt \
+      --codebook_size 4096 --num_steps 5000 \
+      --export_params out/gpt/params.joblib
+
+Resume is automatic from --checkpoint_dir (orbax, latest step).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import jax
+import numpy as np
+
+from protein_structure_tokenizer_tpu.cli.common import CODEBOOK_CHOICES, setup_logging
+from protein_structure_tokenizer_tpu.lm import gpt
+from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+from protein_structure_tokenizer_tpu.runtime.train_checkpoint import TrainCheckpointManager
+from protein_structure_tokenizer_tpu.runtime.train_lm import (
+    LmTrainConfig,
+    TokenSequenceDataset,
+    init_train_state,
+    make_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train the token GPT")
+    p.add_argument("--tokens_dir", type=str, required=True,
+                   help="Directory of *_tokens.npy files (tokenize_pdb output)")
+    p.add_argument("--checkpoint_dir", type=str, required=True)
+    p.add_argument("--codebook_size", type=int, default=4096, choices=CODEBOOK_CHOICES)
+    p.add_argument("--num_steps", type=int, default=10000)
+    p.add_argument("--batch_size_per_device", type=int, default=8)
+    p.add_argument("--learning_rate", type=float, default=3e-4)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--warmup_steps", type=int, default=100)
+    p.add_argument("--label_smoothing", type=float, default=0.0)
+    p.add_argument("--block_size", type=int, default=None,
+                   help="Sequence block (default: model max, 514)")
+    p.add_argument("--num_layers", type=int, default=None,
+                   help="Override model depth (default: released 20 layers)")
+    p.add_argument("--embed_dim", type=int, default=None)
+    p.add_argument("--num_heads", type=int, default=None,
+                   help="Override head count (required if --embed_dim makes "
+                   "the default 16 heads' key size < rope_dimensions)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--max_to_keep", type=int, default=3)
+    p.add_argument("--export_params", type=str, default=None,
+                   help="Write final params (.joblib for cli.gpt_generation)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    setup_logging()
+    args = parse_args(argv)
+    mesh_lib.initialize_distributed()
+
+    cfg = gpt.released_gpt_config(args.codebook_size)
+    overrides = {}
+    if args.num_layers is not None:
+        overrides["num_layers"] = args.num_layers
+    if args.embed_dim is not None:
+        overrides["embed_dim"] = args.embed_dim
+        overrides["ffn_embed_dim"] = 4 * args.embed_dim
+        if args.num_heads is None:
+            # Keep per-head key size >= rope dims with the released 64-dim heads.
+            overrides["num_heads"] = max(1, args.embed_dim // 64)
+    if args.num_heads is not None:
+        overrides["num_heads"] = args.num_heads
+    if args.block_size is not None:
+        overrides["max_position_embeddings"] = args.block_size
+    if overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, **overrides)
+
+    train_cfg = LmTrainConfig(
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.num_steps,
+        label_smoothing=args.label_smoothing,
+    )
+    mesh = mesh_lib.make_mesh()
+
+    key = jax.random.PRNGKey(args.seed)
+    params, opt_state = init_train_state(key, cfg, train_cfg, mesh)
+
+    ckpt = TrainCheckpointManager(
+        args.checkpoint_dir, max_to_keep=args.max_to_keep, save_every=args.save_every
+    )
+    start_step = 0
+    restored = ckpt.restore(params, opt_state, key)
+    if restored is not None:
+        start_step, params, opt_state, key = restored
+        start_step += 1
+
+    train_step, _ = make_train_step(cfg, train_cfg, mesh)
+
+    dataset = TokenSequenceDataset.from_dir(
+        args.tokens_dir, cfg, seed=args.seed, block_size=args.block_size
+    )
+    global_batch = mesh_lib.global_batch_size(mesh, args.batch_size_per_device)
+    local = mesh_lib.process_local_slice(mesh, global_batch)
+    stream = dataset.batches(global_batch, start_step=start_step, local=local)
+    logger.info(
+        "dataset: %d sequences, global batch %d, vocab %d, starting at step %d",
+        len(dataset), global_batch, cfg.vocab_size, start_step,
+    )
+
+    t0 = time.perf_counter()
+    for step in range(start_step, args.num_steps):
+        tokens = mesh_lib.shard_batch_from_local(mesh, next(stream), global_batch)
+        params, opt_state, metrics = train_step(params, opt_state, tokens)
+        if step % args.log_every == 0 or step == args.num_steps - 1:
+            metrics = jax.device_get(metrics)
+            dt, t0 = time.perf_counter() - t0, time.perf_counter()
+            logger.info(
+                "step %d | loss %.4f | ppl %.1f | acc %.3f | %.2fs",
+                step, float(metrics["loss"]), float(metrics["perplexity"]),
+                float(metrics["accuracy"]), dt,
+            )
+            if not np.isfinite(float(metrics["loss"])):
+                raise FloatingPointError(f"non-finite loss at step {step}")
+        ckpt.save(step, params, opt_state, key)
+
+    ckpt.save(args.num_steps - 1, params, opt_state, key, force=True)
+    ckpt.wait()
+    if args.export_params and jax.process_index() == 0:
+        host_params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
+        if args.export_params.endswith(".joblib"):
+            import joblib
+
+            joblib.dump(host_params, args.export_params)
+        else:
+            from protein_structure_tokenizer_tpu.runtime import checkpoints
+
+            checkpoints.save_params(host_params, args.export_params)
+        logger.info("exported params to %s", args.export_params)
+    ckpt.close()
+    logger.info("LM training complete at step %d", args.num_steps - 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,22 @@ class GptConfig:
     eos_token_id: int = 1
     pad_token_id: int = 2
 
+    def __post_init__(self):
+        # Mirrors the reference's GptConfig validation (gpt_model.py:100-121).
+        if self.embed_dim % self.num_heads != 0:
+            raise ValueError(
+                f"embed_dim ({self.embed_dim}) must be divisible by num_heads "
+                f"({self.num_heads})"
+            )
+        if self.rope_dimensions is not None:
+            if self.rope_dimensions <= 0 or self.rope_dimensions % 2 != 0:
+                raise ValueError("rope_dimensions must be a positive even number")
+            if self.rope_dimensions > self.key_size:
+                raise ValueError(
+                    f"rope_dimensions ({self.rope_dimensions}) cannot exceed the "
+                    f"per-head key size ({self.key_size} = embed_dim/num_heads)"
+                )
+
     @property
     def key_size(self) -> int:
         return self.embed_dim // self.num_heads

@@ -1,0 +1,177 @@
+"""GPT training over structure-token sequences.
+
+The reference releases only LM *sampling* scripts — the GPT of the paper was
+trained out-of-release (SURVEY.md §2.5; /root/reference/scripts/lm has no
+optimizer).  This module completes the workflow the paper describes:
+tokenize a corpus -> train the LM on the token sequences -> sample novel
+sequences -> decode to novel structures.
+
+Data-parallel over the 1-D ``data`` mesh like the tokenizer trainer
+(runtime/train.py): batch sharded, params/optimizer replicated, gradient
+reduction by jit's global-view semantics.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from protein_structure_tokenizer_tpu.lm import gpt
+from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+from protein_structure_tokenizer_tpu.utils.params import Params
+
+
+@dataclasses.dataclass(frozen=True)
+class LmTrainConfig:
+    learning_rate: float = 3e-4
+    weight_decay: float = 0.01
+    grad_clip_norm: Optional[float] = 1.0
+    warmup_steps: int = 100
+    total_steps: int = 10000  # cosine decay horizon
+    label_smoothing: float = 0.0
+
+
+def make_optimizer(cfg: LmTrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=max(cfg.warmup_steps, 1),
+        decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+        end_value=cfg.learning_rate * 0.1,
+    )
+    chain = []
+    if cfg.grad_clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    chain.append(optax.adamw(schedule, weight_decay=cfg.weight_decay))
+    return optax.chain(*chain)
+
+
+def lm_loss(
+    params: Params,
+    model_cfg: gpt.GptConfig,
+    train_cfg: LmTrainConfig,
+    tokens: jax.Array,  # (B, T) int32, bos...eos + pad tail
+) -> Tuple[jax.Array, dict]:
+    """Next-token cross-entropy with pad positions masked out."""
+    inputs, targets = tokens[:, :-1], tokens[:, 1:]
+    logits = gpt.forward(params, model_cfg, inputs)["logits"]
+    mask = (targets != model_cfg.pad_token_id).astype(jnp.float32)
+    if train_cfg.label_smoothing > 0:
+        onehot = jax.nn.one_hot(targets, model_cfg.vocab_size)
+        smooth = optax.smooth_labels(onehot, train_cfg.label_smoothing)
+        ce = optax.softmax_cross_entropy(logits, smooth)
+    else:
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+    denom = jnp.maximum(mask.sum(), 1.0)
+    loss = (ce * mask).sum() / denom
+    accuracy = ((jnp.argmax(logits, -1) == targets) * mask).sum() / denom
+    return loss, {
+        "loss": loss,
+        "perplexity": jnp.exp(loss),
+        "accuracy": accuracy,
+        "tokens": mask.sum(),
+    }
+
+
+def make_train_step(model_cfg: gpt.GptConfig, train_cfg: LmTrainConfig, mesh):
+    optimizer = make_optimizer(train_cfg)
+    replicated = mesh_lib.replicated_sharding(mesh)
+    batch_shard = mesh_lib.batch_sharding(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(replicated, replicated, batch_shard),
+        out_shardings=(replicated, replicated, replicated),
+        donate_argnums=(0, 1),
+    )
+    def train_step(params, opt_state, tokens):
+        grad_fn = jax.value_and_grad(lm_loss, has_aux=True)
+        (_, metrics), grads = grad_fn(params, model_cfg, train_cfg, tokens)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step, optimizer
+
+
+def init_train_state(
+    key: jax.Array, model_cfg: gpt.GptConfig, train_cfg: LmTrainConfig, mesh
+) -> Tuple[Params, optax.OptState]:
+    params = gpt.init(key, model_cfg)
+    opt_state = make_optimizer(train_cfg).init(params)
+    return mesh_lib.replicate(mesh, params), mesh_lib.replicate(mesh, opt_state)
+
+
+# ---------------------------------------------------------------------------
+# Token-sequence dataset
+# ---------------------------------------------------------------------------
+
+
+def pack_sequence(
+    tokens: np.ndarray, cfg: gpt.GptConfig, block_size: Optional[int] = None
+) -> np.ndarray:
+    """[bos] + tokens + [eos], right-padded with pad to block_size."""
+    block = block_size or cfg.max_position_embeddings
+    tokens = np.asarray(tokens, np.int32).reshape(-1)[: block - 2]
+    seq = np.full((block,), cfg.pad_token_id, np.int32)
+    seq[0] = cfg.bos_token_id
+    seq[1 : 1 + len(tokens)] = tokens
+    seq[1 + len(tokens)] = cfg.eos_token_id
+    return seq
+
+
+class TokenSequenceDataset:
+    """Shuffled stream of packed token batches from ``*_tokens.npy`` files
+    (the tokenize CLI's output format) or any .npy of int token ids."""
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        cfg: gpt.GptConfig,
+        *,
+        seed: int = 0,
+        block_size: Optional[int] = None,
+    ):
+        if not paths:
+            raise ValueError("empty token dataset")
+        self.cfg = cfg
+        self.seed = seed
+        self.sequences = np.stack(
+            [pack_sequence(np.load(p), cfg, block_size) for p in paths]
+        )
+
+    @classmethod
+    def from_dir(cls, directory: str, cfg: gpt.GptConfig, **kw) -> "TokenSequenceDataset":
+        paths = sorted(
+            os.path.join(directory, f)
+            for f in os.listdir(directory)
+            if f.endswith(".npy")
+        )
+        return cls(paths, cfg, **kw)
+
+    def __len__(self) -> int:
+        return len(self.sequences)
+
+    def batches(
+        self, global_batch: int, *, start_step: int = 0, local: slice = slice(None)
+    ) -> Iterator[np.ndarray]:
+        n = len(self.sequences)
+        step, epoch = 0, 0
+        while True:
+            order = np.random.RandomState(self.seed + epoch).permutation(n)
+            n_batches = max(1, -(-n // global_batch))
+            padded = np.resize(order, n_batches * global_batch)
+            for b in range(n_batches):
+                if step < start_step:
+                    step += 1
+                    continue
+                idx = padded[b * global_batch : (b + 1) * global_batch][local]
+                yield self.sequences[idx]
+                step += 1
+            epoch += 1
