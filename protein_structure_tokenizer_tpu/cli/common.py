@@ -49,6 +49,13 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
         help="Bit-exact (reference-order) message aggregation instead of the "
         "TPU-fast path.",
     )
+    parser.add_argument(
+        "--bf16",
+        action="store_true",
+        help="bf16 compute (2x MXU, half HBM traffic) with f32 islands for "
+        "FSQ rounding, IPA point geometry, and rigid composition.  Token ids "
+        "may differ from the f32 conformance path near rounding boundaries.",
+    )
 
 
 def build_runner(args) -> InferenceRunner:
@@ -63,7 +70,14 @@ def build_runner(args) -> InferenceRunner:
         logger.warning("no --weights given: using RANDOM weights (smoke mode)")
     devices = jax.devices(args.backend) if args.backend else jax.devices()
     mesh = mesh_lib.make_mesh(devices)
-    return InferenceRunner(cfg, params, mesh, exact_aggregation=args.exact)
+    compute_dtype = None
+    if getattr(args, "bf16", False):
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
+    return InferenceRunner(
+        cfg, params, mesh, exact_aggregation=args.exact, compute_dtype=compute_dtype
+    )
 
 
 def setup_logging() -> None:

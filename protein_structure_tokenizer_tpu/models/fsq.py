@@ -110,6 +110,12 @@ def quantize(
     """
     levels = _levels(config)
     dtype = inputs.dtype
+    # Grid rounding is numerically sensitive: under a bf16 compute policy a
+    # latent near a cell boundary would flip token id, so the bound/round path
+    # is pinned to f32 regardless of the incoming compute dtype (outputs are
+    # cast back).  Elementwise VPU work — pinning costs nothing.
+    inputs = inputs.astype(jnp.float32)
+    masks = masks.astype(jnp.float32)
 
     bounded = bound(config, inputs)
     bounded = masks * bounded
@@ -127,7 +133,7 @@ def quantize(
     out = {
         "quantize": quantized.astype(dtype),
         "straight_through_quantized": straight_through.astype(dtype),
-        "continuous_embedding": bounded,
+        "continuous_embedding": bounded.astype(dtype),
         "tokens": tokens,
     }
 

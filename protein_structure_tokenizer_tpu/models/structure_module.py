@@ -71,6 +71,12 @@ def invariant_point_attention(
     h = cfg.num_head
     sqk, sv = cfg.num_scalar_qk, cfg.num_scalar_v
     pqk, pv = cfg.num_point_qk, cfg.num_point_v
+    # Under a bf16 compute policy, geometry-critical reductions stay f32
+    # (points, logits, softmax, point aggregation) while the heavy O(N^2 * C)
+    # matmuls keep the compute dtype on the MXU.  With f32 inputs this is a
+    # no-op.
+    in_dtype = inputs_1d.dtype
+    f32 = jnp.float32
 
     q_scalar = af2_linear(p["q_scalar"], inputs_1d).reshape(batch, num_res, h, sqk)
     kv_scalar = af2_linear(p["kv_scalar"], inputs_1d).reshape(batch, num_res, h, sv + sqk)
@@ -79,10 +85,11 @@ def invariant_point_attention(
     def to_global_points(leaves, num_points):
         # Linear output layout is [all-x, all-y, all-z] blocks of h*num_points
         # (the reference splits axis -1 in 3; folding.py:134,151).
-        local = af2_linear(leaves, inputs_1d).reshape(batch, num_res, 3, h * num_points)
-        rot = affine.rot[..., :, :, None]  # (B, N, 3, 3, 1)
+        local = af2_linear(leaves, inputs_1d).astype(f32)
+        local = local.reshape(batch, num_res, 3, h * num_points)
+        rot = affine.rot.astype(f32)[..., :, :, None]  # (B, N, 3, 3, 1)
         pts = jnp.sum(rot * local[..., None, :, :], axis=-2)  # (B, N, 3, h*P)
-        pts = pts + affine.trans[..., :, None]
+        pts = pts + affine.trans.astype(f32)[..., :, None]
         return pts.reshape(batch, num_res, 3, h, num_points)
 
     q_point = to_global_points(p["q_point_local"], pqk)
@@ -121,26 +128,28 @@ def invariant_point_attention(
         sum_dist2 = qn[..., :, None] + kn[..., None, :] - 2.0 * cross
         attn_qk_point = -0.5 * head_point_weights[None, :, None, None] * sum_dist2
 
-    q = jnp.swapaxes(scalar_weights * q_scalar, -2, -3)  # (B, h, N, sqk)
+    q = jnp.swapaxes((scalar_weights * q_scalar).astype(in_dtype), -2, -3)  # (B,h,N,sqk)
     k = jnp.swapaxes(k_scalar, -2, -3)
     v = jnp.swapaxes(v_scalar, -2, -3)
-    attn_qk_scalar = jnp.einsum("bhqc,bhkc->bhqk", q, k)
+    attn_qk_scalar = jnp.einsum("bhqc,bhkc->bhqk", q, k, preferred_element_type=f32)
     attn_logits = attn_qk_scalar + attn_qk_point
 
     attention_2d = af2_linear(p["attention_2d"], inputs_2d)  # (B, N, N, h)
     attn_logits = attn_logits + attention_2d_weights * jnp.transpose(
         attention_2d, (0, 3, 1, 2)
-    )
+    ).astype(f32)
 
-    mask_2d = mask * jnp.swapaxes(mask, -1, -2)  # (B, N, N)
+    mask_2d = (mask * jnp.swapaxes(mask, -1, -2)).astype(f32)  # (B, N, N)
     attn_logits = attn_logits - 1e5 * (1.0 - mask_2d[:, None])
 
-    attn = jax.nn.softmax(attn_logits)  # (B, h, Nq, Nk)
+    attn = jax.nn.softmax(attn_logits)  # (B, h, Nq, Nk) f32
 
-    result_scalar = jnp.einsum("bhqk,bhkc->bhqc", attn, v)
+    result_scalar = jnp.einsum(
+        "bhqk,bhkc->bhqc", attn.astype(in_dtype), v, preferred_element_type=f32
+    ).astype(in_dtype)
     result_scalar = jnp.swapaxes(result_scalar, -2, -3).reshape(batch, num_res, h * sv)
 
-    vp = jnp.transpose(v_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3)
+    vp = jnp.transpose(v_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3) f32
     if exact:
         # Float32 multiply+reduce (the reference's TPU trick, folding.py:233-241).
         result_point_global = jnp.sum(
@@ -154,25 +163,27 @@ def invariant_point_attention(
         batch, num_res, 3, h * pv
     )
 
-    # Back to local frames.
-    centered = result_point_global - affine.trans[..., :, None]
-    rot = affine.rot[..., :, :, None]
+    # Back to local frames (f32 geometry).
+    centered = result_point_global - affine.trans.astype(f32)[..., :, None]
+    rot = affine.rot.astype(f32)[..., :, :, None]
     result_point_local = jnp.sum(rot * centered[..., :, None, :], axis=-3)  # (B,N,3,h*pv)
 
     point_norm = jnp.sqrt(
         cfg.dist_epsilon + jnp.sum(jnp.square(result_point_local), axis=-2)
     )  # (B, N, h*pv)
 
-    result_attention_over_2d = jnp.einsum("bhij,bijc->bihc", attn, inputs_2d)
+    result_attention_over_2d = jnp.einsum(
+        "bhij,bijc->bihc", attn.astype(in_dtype), inputs_2d, preferred_element_type=f32
+    ).astype(in_dtype)
     result_attention_over_2d = result_attention_over_2d.reshape(batch, num_res, -1)
 
     final_act = jnp.concatenate(
         [
             result_scalar,
-            result_point_local[..., 0, :],
-            result_point_local[..., 1, :],
-            result_point_local[..., 2, :],
-            point_norm,
+            result_point_local[..., 0, :].astype(in_dtype),
+            result_point_local[..., 1, :].astype(in_dtype),
+            result_point_local[..., 2, :].astype(in_dtype),
+            point_norm.astype(in_dtype),
             result_attention_over_2d,
         ],
         axis=-1,
@@ -198,7 +209,8 @@ def multi_rigid_sidechain(
         s = s + old
 
     batch, num_res, _ = s.shape
-    unnormalized = af2_linear(p["unnormalized_angles"], jax.nn.relu(s))
+    # Torsion geometry stays f32 under a bf16 compute policy.
+    unnormalized = af2_linear(p["unnormalized_angles"], jax.nn.relu(s)).astype(jnp.float32)
     unnormalized = unnormalized.reshape(batch, num_res, 3, 2)
     angles = unnormalized / jnp.sqrt(
         jnp.maximum(jnp.sum(jnp.square(unnormalized), axis=-1, keepdims=True), 1e-12)
@@ -249,7 +261,8 @@ def fold_iteration(
     act = act + input_act
     act = layer_norm(p["transition_layer_norm"], act)
 
-    affine = affine.pre_compose(af2_linear(p["affine_update"], act))
+    # Rigid-body composition stays f32 under a bf16 compute policy.
+    affine = affine.pre_compose(af2_linear(p["affine_update"], act).astype(jnp.float32))
 
     sc = multi_rigid_sidechain(
         subtree(p, "rigid_sidechain"),

@@ -96,7 +96,15 @@ class InferenceRunner:
         *,
         exact_aggregation: bool = False,
         num_featurize_workers: int = 0,
+        compute_dtype=None,
     ):
+        """``compute_dtype=jnp.bfloat16`` runs the forward matmuls in bf16
+        (2x MXU, half HBM traffic) with f32 islands for FSQ rounding, IPA
+        point geometry, softmax, and rigid-body composition; params and
+        outputs stay f32.  Default (None) is full f32 — the conformance path.
+        Incompatible with ``exact_aggregation``."""
+        if compute_dtype is not None and exact_aggregation:
+            raise ValueError("exact_aggregation requires full f32 compute")
         self.config = config
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         self.params = mesh_lib.replicate(self.mesh, params)
@@ -109,12 +117,7 @@ class InferenceRunner:
 
         cfg = config
 
-        @functools.partial(
-            jax.jit,
-            in_shardings=(replicated, batch_sharding),
-            out_shardings=batch_sharding,
-        )
-        def _tokenize(params, graph):
+        def _tokenize_impl(params, graph):
             out = vq3d.encode_and_quantize(
                 params,
                 cfg,
@@ -124,12 +127,7 @@ class InferenceRunner:
             )
             return {"tokens": out["tokens"]}
 
-        @functools.partial(
-            jax.jit,
-            in_shardings=(replicated, batch_sharding, batch_sharding, batch_sharding),
-            out_shardings=batch_sharding,
-        )
-        def _decode(params, quantized, nodes_mask, tokens_mask):
+        def _decode_impl(params, quantized, nodes_mask, tokens_mask):
             out = vq3d.decode_and_make_structure(
                 params, cfg, quantized, nodes_mask, tokens_mask,
                 exact_ipa=exact_aggregation,
@@ -138,6 +136,26 @@ class InferenceRunner:
                 "final_atom_positions": out["final_atom_positions"],
                 "final_atom_mask": out["final_atom_mask"],
             }
+
+        if compute_dtype is not None:
+            from protein_structure_tokenizer_tpu.runtime.precision import (
+                mixed_precision_policy,
+            )
+
+            _tokenize_impl = mixed_precision_policy(_tokenize_impl, compute_dtype)
+            _decode_impl = mixed_precision_policy(_decode_impl, compute_dtype)
+
+        _tokenize = functools.partial(
+            jax.jit,
+            in_shardings=(replicated, batch_sharding),
+            out_shardings=batch_sharding,
+        )(_tokenize_impl)
+
+        _decode = functools.partial(
+            jax.jit,
+            in_shardings=(replicated, batch_sharding, batch_sharding, batch_sharding),
+            out_shardings=batch_sharding,
+        )(_decode_impl)
 
         @jax.jit
         def _indexes_to_codes(tokens):

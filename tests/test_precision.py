@@ -58,3 +58,44 @@ def test_policy_on_tokenizer_encode():
     f32 = vq3d.encode_and_quantize(params, cfg, graph, compute_usage=False)
     match = (tokens == np.asarray(f32["tokens"]))[:, :96].mean()
     assert match > 0.9, f"bf16 token agreement unexpectedly low: {match}"
+
+
+def test_bf16_runner_decode():
+    """bf16 runner decode produces structures close to the f32 path."""
+    from protein_structure_tokenizer_tpu.models import vq3d
+    from protein_structure_tokenizer_tpu.models.config import tiny_preset
+    from protein_structure_tokenizer_tpu.runtime.runner import InferenceRunner
+
+    cfg = tiny_preset(seq_max=16, k=4, downsampling=2, dim=16)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    f32_runner = InferenceRunner(cfg, params)
+    bf16_runner = InferenceRunner(cfg, params, compute_dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    quantized = jnp.asarray(rng.randn(8, 8, 6).astype(np.float32))
+    nodes_mask = jnp.ones((8, 16, 1), jnp.float32)
+    tokens_mask = jnp.ones((8, 8, 1), jnp.float32)
+
+    out32 = f32_runner.decode_fn(f32_runner.params, quantized, nodes_mask, tokens_mask)
+    out16 = bf16_runner.decode_fn(bf16_runner.params, quantized, nodes_mask, tokens_mask)
+    p32 = np.asarray(out32["final_atom_positions"])
+    p16 = np.asarray(out16["final_atom_positions"])
+    assert p16.dtype == np.float32  # outputs cast back
+    assert np.isfinite(p16).all()
+    scale = np.abs(p32).mean() + 1e-6
+    assert np.abs(p16 - p32).mean() / scale < 0.1, (
+        np.abs(p16 - p32).mean(), scale
+    )
+
+
+def test_bf16_incompatible_with_exact():
+    import pytest as _pytest
+
+    from protein_structure_tokenizer_tpu.models import vq3d
+    from protein_structure_tokenizer_tpu.models.config import tiny_preset
+    from protein_structure_tokenizer_tpu.runtime.runner import InferenceRunner
+
+    cfg = tiny_preset()
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    with _pytest.raises(ValueError):
+        InferenceRunner(cfg, params, exact_aggregation=True, compute_dtype=jnp.bfloat16)
