@@ -84,14 +84,89 @@ def pairwise_representation_init(key, cfg: PairRepConfig, in_dim: int) -> Params
     }
 
 
+def _fused_pair_path(
+    params: Params, cfg: SeqDecoderConfig, single_emb: jax.Array, nodes_mask: jax.Array
+) -> jax.Array:
+    """Pair track via the fused Pallas kernel (ops/pair_kernels.py): the only
+    HBM traffic is the projection tracks in and the final pair tensor out."""
+    from protein_structure_tokenizer_tpu.ops.pair_kernels import (
+        fused_pair_representation,
+    )
+
+    pr = subtree(params, "pairwise_representation")
+    x = layer_norm(pr["layer_norm_input"], single_emb)
+    left = nodes_mask * af2_linear(pr["left_projection"], x)
+    right = nodes_mask * af2_linear(pr["right_projection"], x)
+
+    d = cfg.positional_encoding_dimension
+    tr = subtree(params, "pair_transition_init")
+    weights = {
+        "w1": pr["output_projection_layer1"]["weights"],
+        "b1": pr["output_projection_layer1"]["bias"],
+        "w2": pr["output_projection_layer2"]["weights"],
+        "b2": pr["output_projection_layer2"]["bias"],
+        "wr": pr["right_projection_1"]["weights"],
+        "br": pr["right_projection_1"]["bias"],
+        "ln1_scale": pr["layer_norm_output"]["scale"],
+        "ln1_offset": pr["layer_norm_output"]["offset"],
+        "wl_rel": params["linear"]["w"][:d],
+        "wl_pair": params["linear"]["w"][d:],
+        "bl": params["linear"]["b"],
+        "ln2_scale": tr["input_layer_norm"]["scale"],
+        "ln2_offset": tr["input_layer_norm"]["offset"],
+        "t1": tr["transition1"]["weights"],
+        "tb1": tr["transition1"]["bias"],
+        "t2": tr["transition2"]["weights"],
+        "tb2": tr["transition2"]["bias"],
+    }
+    return fused_pair_representation(
+        left, right, weights, seq_max=cfg.seq_max_size, pe_dim=d
+    )
+
+
+def _fused_pair_applicable(params: Params, cfg: SeqDecoderConfig, n: int) -> bool:
+    from protein_structure_tokenizer_tpu.ops.pair_kernels import (
+        pair_representation_supported,
+    )
+
+    return (
+        cfg.pair_representation.lnormalisation
+        and cfg.pair_transition.chunk_size is None
+        and "b" in params["linear"]
+        and pair_representation_supported(n)
+    )
+
+
 def sequence_decoder(
     params: Params,
     cfg: SeqDecoderConfig,
     single_emb: jax.Array,  # (B, N, C)
     nodes_mask: jax.Array,  # (B, N, 1)
+    *,
+    exact: bool = False,
+    use_pallas: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (s_i, z_ij): the single track unchanged and the pair track."""
+    """Returns (s_i, z_ij): the single track unchanged and the pair track.
+
+    ``exact=True`` reproduces the reference's op order bit-for-bit
+    (concat the dense relative PE onto the pair track, then one Linear over
+    256 dims, broadcast over batch).  The default path is algebraically equal
+    but splits the concat-matmul — ``[relpos; pair] @ W = relpos @ W_r +
+    pair @ W_p`` — so the relative-PE half (a function of index difference
+    only) is computed ONCE without a batch axis and broadcast-added: the
+    (B, N, N, 2D) concat intermediate never hits HBM and the PE half of the
+    contraction isn't redone B times.
+    """
     batch, n, _ = single_emb.shape
+
+    # The fused Pallas pair kernel is OPT-IN: on the current TPU target XLA's
+    # own schedule of the jnp chain is faster (34 vs 44 ms at B=16, N=512 —
+    # this chip's native-f32 MXU rate leaves the stage compute-bound, not
+    # HBM-bound), so the default stays jnp.  Flip use_pallas=True to use it.
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas and not exact and _fused_pair_applicable(params, cfg, n):
+        return single_emb, _fused_pair_path(params, cfg, single_emb, nodes_mask)
 
     pair = pairwise_representation(
         subtree(params, "pairwise_representation"),
@@ -107,10 +182,18 @@ def sequence_decoder(
     d = cfg.positional_encoding_dimension
     diff = jnp.arange(n)[None, :] - jnp.arange(n)[:, None]
     relpos = sinusoidal_features(diff, cfg.seq_max_size, d)  # (N, N, D)
-    relpos = jnp.broadcast_to(relpos[None], (batch, n, n, d))
 
-    pair = jnp.concatenate([relpos, pair], axis=-1)
-    pair = linear(params["linear"], pair)
+    w = params["linear"]["w"]  # (D + pair_dim, D_out)
+    b = params["linear"].get("b")
+    if exact:
+        relpos_b = jnp.broadcast_to(relpos[None], (batch, n, n, d))
+        pair = jnp.concatenate([relpos_b, pair], axis=-1)
+        pair = linear(params["linear"], pair)
+    else:
+        relpos_term = relpos.astype(pair.dtype) @ w[:d].astype(pair.dtype)  # (N, N, D_out)
+        if b is not None:
+            relpos_term = relpos_term + b
+        pair = pair @ w[d:].astype(pair.dtype) + relpos_term[None]
     pair = transition(
         subtree(params, "pair_transition_init"), cfg.pair_transition, pair
     )

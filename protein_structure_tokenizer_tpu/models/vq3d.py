@@ -301,7 +301,8 @@ def decode(
         seq_decoded = _spherical_normalize(seq_decoded)
 
     s_i, z_ij = sequence_decoder(
-        subtree(params, SCOPE_SEQ_DECODER), cfg.decoder, seq_decoded, nodes_mask
+        subtree(params, SCOPE_SEQ_DECODER), cfg.decoder, seq_decoded, nodes_mask,
+        exact=exact,
     )
     return quantized_proj, s_i, z_ij
 
@@ -332,7 +333,9 @@ def decode_and_make_structure(
     *,
     exact_ipa: bool = False,
 ) -> dict:
-    _, s_i, z_ij = decode(params, cfg, quantized, nodes_mask, tokens_mask)
+    _, s_i, z_ij = decode(
+        params, cfg, quantized, nodes_mask, tokens_mask, exact=exact_ipa
+    )
     batch, num_res = s_i.shape[:2]
     features = _dummy_ala_features(batch, num_res)
     return structure_module(
@@ -380,7 +383,7 @@ def forward(
     out["continuous_embedding_pre_proj"] = pre_proj
 
     quantized_proj, s_i, z_ij = decode(
-        params, cfg, quantized, graph.nodes_mask, graph.tokens_mask
+        params, cfg, quantized, graph.nodes_mask, graph.tokens_mask, exact=exact_ipa
     )
     out["quantize_post_proj"] = quantized_proj
 

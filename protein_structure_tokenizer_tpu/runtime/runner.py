@@ -161,9 +161,37 @@ class InferenceRunner:
         def _indexes_to_codes(tokens):
             return vq3d.indexes_to_codes(cfg, tokens)
 
+        def _autoencode_impl(params, batch):
+            decoded, quant = vq3d.forward(
+                params, cfg, batch,
+                is_training=False,
+                compute_usage=False,
+                exact_aggregation=exact_aggregation,
+                exact_ipa=exact_aggregation,
+            )
+            return {
+                "tokens": quant["tokens"],
+                "final_atom_positions": decoded["final_atom_positions"],
+                "final_atom_mask": decoded["final_atom_mask"],
+            }
+
+        if compute_dtype is not None:
+            from protein_structure_tokenizer_tpu.runtime.precision import (
+                mixed_precision_policy,
+            )
+
+            _autoencode_impl = mixed_precision_policy(_autoencode_impl, compute_dtype)
+
+        _autoencode = functools.partial(
+            jax.jit,
+            in_shardings=(replicated, batch_sharding),
+            out_shardings=batch_sharding,
+        )(_autoencode_impl)
+
         self.tokenize_fn = _tokenize
         self.decode_fn = _decode
         self.indexes_to_codes_fn = _indexes_to_codes
+        self.autoencode_fn = _autoencode
 
     # -- featurization ------------------------------------------------------
     def featurize(self, pdb_paths: Sequence[str]) -> List[dict]:

@@ -126,10 +126,21 @@ def test_decode_trunk_parity(golden):
         params, jax.random.PRNGKey(0), quantized, nodes_mask, tokens_mask
     )
 
-    qproj, s_i, z_ij = vq3d.decode(params, cfg, quantized, nodes_mask, tokens_mask)
+    # exact=True is the conformance path: bit-identical to the reference.
+    qproj, s_i, z_ij = vq3d.decode(
+        params, cfg, quantized, nodes_mask, tokens_mask, exact=True
+    )
     np.testing.assert_array_equal(np.asarray(qproj), np.asarray(ref_qproj))
     np.testing.assert_array_equal(np.asarray(s_i), np.asarray(ref_si))
     np.testing.assert_array_equal(np.asarray(z_ij), np.asarray(ref_zij))
+
+    # The fast path (relpos/pair concat-matmul split) is algebraically equal;
+    # only float summation order differs.
+    _, s_fast, z_fast = vq3d.decode(params, cfg, quantized, nodes_mask, tokens_mask)
+    np.testing.assert_array_equal(np.asarray(s_fast), np.asarray(ref_si))
+    np.testing.assert_allclose(
+        np.asarray(z_fast), np.asarray(ref_zij), rtol=1e-5, atol=1e-5
+    )
 
 
 @requires_reference
