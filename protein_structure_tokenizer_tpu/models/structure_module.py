@@ -14,6 +14,7 @@ Behavioral parity with /root/reference/structure_tokenizer/model/folding.py
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +63,7 @@ def invariant_point_attention(
     affine: QuatRigid,  # batch shape (B, N)
     *,
     exact: bool = False,
+    attention_2d: Optional[jax.Array] = None,  # precomputed (B, N, N, h)
 ) -> jax.Array:
     """IPA.  ``exact=True`` reproduces the reference's broadcast-subtract
     formulas bit-for-bit (folding.py:225-241); the default fast mode uses the
@@ -134,7 +136,8 @@ def invariant_point_attention(
     attn_qk_scalar = jnp.einsum("bhqc,bhkc->bhqk", q, k, preferred_element_type=f32)
     attn_logits = attn_qk_scalar + attn_qk_point
 
-    attention_2d = af2_linear(p["attention_2d"], inputs_2d)  # (B, N, N, h)
+    if attention_2d is None:
+        attention_2d = af2_linear(p["attention_2d"], inputs_2d)  # (B, N, N, h)
     attn_logits = attn_logits + attention_2d_weights * jnp.transpose(
         attention_2d, (0, 3, 1, 2)
     ).astype(f32)
@@ -236,6 +239,7 @@ def fold_iteration(
     static_feat_2d: jax.Array,
     *,
     exact: bool = False,
+    attention_2d: Optional[jax.Array] = None,
 ) -> tuple[dict, dict]:
     affine = QuatRigid.from_tensor(activations["affine"])
     act = activations["act"]
@@ -248,6 +252,7 @@ def fold_iteration(
         sequence_mask,
         affine,
         exact=exact,
+        attention_2d=attention_2d,
     )
     act = act + attn
     act = layer_norm(p["attention_layer_norm"], act)
@@ -298,9 +303,17 @@ def structure_module(
 
     fold_params = subtree(params, "fold_iteration")
 
+    # The pair-bias projection of the iteration-invariant 2d track is hoisted
+    # out of the scan: identical values every iteration, so computing it once
+    # saves 7 redundant (B, N, N, C) matmuls and their HBM re-reads.
+    attention_2d = af2_linear(
+        subtree(fold_params, "invariant_point_attention")["attention_2d"], act_2d
+    )
+
     def step(carry, _):
         new_carry, out = fold_iteration(
-            fold_params, cfg, carry, sequence_mask, initial_act, act_2d, exact=exact
+            fold_params, cfg, carry, sequence_mask, initial_act, act_2d,
+            exact=exact, attention_2d=attention_2d,
         )
         return new_carry, out
 
