@@ -376,3 +376,114 @@ class InferenceRunner:
                                 f.write(to_pdb(prot))
         timers.log_summary("decode stages")
         return results
+
+    # -- full autoencode ------------------------------------------------------
+    def autoencode(
+        self,
+        pdb_paths: Sequence[str],
+        save_path: Optional[str] = None,
+        *,
+        batch_size_per_device: int = 16,
+        compute_metrics: bool = True,
+    ) -> dict:
+        """PDB -> tokens -> reconstructed structure in ONE device pass.
+
+        Counterpart of the reference's ``prepare_ae_fn``
+        (inference_runner.py:210-223) plus its predicted/target PDB and
+        ``metrics.pkl`` persistence (protein.py:429-489).  Returns
+        {name: {"tokens", "predicted", "target", "metrics"}}.
+        """
+        import dataclasses as _dc
+
+        from protein_structure_tokenizer_tpu.data.featurize import (
+            FeaturizeConfig,
+            preprocess_sample,
+        )
+        from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
+        from protein_structure_tokenizer_tpu.data.types import TokenizerBatch
+        from protein_structure_tokenizer_tpu.runtime.dataset import collate_features
+
+        cfg = self.config.data
+        fcfg = FeaturizeConfig(
+            num_neighbor=cfg.graph_max_neighbor,
+            downsampling_ratio=cfg.downsampling_ratio,
+            residue_loc_is_alphac=cfg.graph_residue_loc_is_alphac,
+            padding_num_residue=cfg.seq_max_size,
+            crop_index=cfg.seq_max_size,
+        )
+
+        structure_dir = None
+        if save_path is not None:
+            structure_dir = os.path.join(save_path, "structures")
+            os.makedirs(structure_dir, exist_ok=jax.process_index() != 0)
+
+        global_batch = mesh_lib.global_batch_size(self.mesh, batch_size_per_device)
+        num_iterations = -(-len(pdb_paths) // global_batch)
+        padded_paths = list(islice(cycle(pdb_paths), num_iterations * global_batch))
+
+        results: dict = {}
+        all_metrics: dict = {}
+        for it in range(num_iterations):
+            chunk = padded_paths[it * global_batch : (it + 1) * global_batch]
+            samples = [parse_pdb_file(p) for p in chunk]
+            featurized = [preprocess_sample(s, fcfg) for s in samples]
+            graph = collate_graphs([_dc.asdict(g) for g, _ in featurized])
+            features = collate_features([f for _, f in featurized])
+            batch = TokenizerBatch(graph=graph, features=features)
+
+            out = self.autoencode_fn(self.params, mesh_lib.shard_batch(self.mesh, batch))
+            tokens = np.asarray(jax.device_get(out["tokens"]))
+            positions = np.asarray(jax.device_get(out["final_atom_positions"]))
+            masks = np.asarray(jax.device_get(out["final_atom_mask"]))
+
+            n_tokens = np.asarray(graph.tokens_mask).reshape(len(chunk), -1).sum(axis=1)
+            n_nodes = np.asarray(graph.n_node).reshape(-1)
+            for row, path in enumerate(chunk):
+                name = os.path.basename(path).split(".pdb")[0]
+                if name in results:
+                    continue  # round-robin padding duplicate
+                n = int(n_nodes[row])
+                target_pos = featurized[row][1]["atom37_gt_positions"][:n]
+                target_mask = features["atom37_gt_exists"][row, :n]
+                aatype = features["aatype"][row, :n]
+                predicted = Protein.from_atom37_rep(
+                    atom37_positions=positions[row, :n],
+                    atom37_gt_exists=masks[row, :n],
+                    atom37_atom_exists=masks[row, :n],
+                    aatype=aatype,
+                    chain_id="A",
+                )
+                target = Protein.from_atom37_rep(
+                    atom37_positions=target_pos,
+                    atom37_gt_exists=target_mask,
+                    atom37_atom_exists=target_mask,
+                    aatype=aatype,
+                    chain_id="A",
+                )
+                entry = {
+                    "tokens": tokens[row, : int(n_tokens[row])],
+                    "predicted": predicted,
+                    "target": target,
+                }
+                if compute_metrics:
+                    from protein_structure_tokenizer_tpu.eval.metrics import ca_metrics
+
+                    entry["metrics"] = ca_metrics(
+                        positions[row, :n].astype(np.float64),
+                        target_pos.astype(np.float64),
+                    ).as_dict()
+                    all_metrics[name] = entry["metrics"]
+                results[name] = entry
+                if structure_dir is not None:
+                    for tag, prot in (("predicted", predicted), ("target", target)):
+                        with open(
+                            os.path.join(structure_dir, f"{tag}_structure_{name}.pdb"),
+                            "w",
+                        ) as f:
+                            f.write(to_pdb(prot))
+        if save_path is not None and compute_metrics and jax.process_index() == 0:
+            import pickle
+
+            with open(os.path.join(save_path, "metrics.pkl"), "wb") as f:
+                pickle.dump(all_metrics, f)
+        return results

@@ -73,3 +73,44 @@ def test_tokenize_decode_roundtrip(tmp_path):
         n_res = parse_pdb_file(path).nb_residues
         assert tokens[name].shape[1] == n_res
         assert len(structures[name].aatype) == n_res
+
+
+@pytest.mark.skipif(not CASP14, reason="CASP14 corpus not mounted")
+def test_autoencode_roundtrip(tmp_path):
+    """Full AE in one device pass: tokens + reconstruction + metrics.pkl."""
+    import pickle
+
+    cfg = preset(4096, 1)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    runner = InferenceRunner(cfg, params)
+
+    out = runner.autoencode(CASP14[:2], str(tmp_path), batch_size_per_device=1)
+    assert len(out) == 2
+    from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
+
+    for path in CASP14[:2]:
+        name = os.path.basename(path).split(".pdb")[0]
+        entry = out[name]
+        n_res = parse_pdb_file(path).nb_residues
+        assert entry["tokens"].shape == (n_res,)
+        assert len(entry["predicted"].aatype) == n_res
+        assert len(entry["target"].aatype) == n_res
+        # Target must reproduce the input CA coordinates.
+        sample = parse_pdb_file(path)
+        np.testing.assert_allclose(
+            entry["target"].atom_positions[:, 1],
+            sample.atom37_positions[: n_res, 1],
+            atol=1e-3,
+        )
+        assert {"rmsd", "tm", "gdt_ts"} <= set(entry["metrics"])
+        assert (tmp_path / "structures" / f"predicted_structure_{name}.pdb").exists()
+        assert (tmp_path / "structures" / f"target_structure_{name}.pdb").exists()
+
+    with open(tmp_path / "metrics.pkl", "rb") as f:
+        metrics = pickle.load(f)
+    assert set(metrics) == {os.path.basename(p).split(".pdb")[0] for p in CASP14[:2]}
+
+    # AE tokens match the tokenize path (same encoder).
+    tok = runner.tokenize(CASP14[:2], batch_size_per_device=1)
+    for name, entry in out.items():
+        np.testing.assert_array_equal(entry["tokens"], tok[name].reshape(-1))
