@@ -44,6 +44,21 @@ def _gather_nodes(node_feats: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(node_feats, idx[..., None], axis=1)
 
 
+def _gather_via_onehot(node_feats: jax.Array, onehot: jax.Array) -> jax.Array:
+    """Row gather as an MXU matmul against a precomputed one-hot.
+
+    Dynamic row gathers run at ~1/4 of HBM bandwidth on TPU (random access);
+    with N = 512 nodes the same selection is a (B, E, N) @ (B, N, D) batched
+    matmul the MXU streams at full rate.  The one-hot is built ONCE per
+    forward (senders are layer-invariant) and reused by every layer's message
+    and edge-update MLPs.  bf16 one-hot entries (exact 0/1) select a single
+    f32 row each, so values match the gather up to the matmul's element type.
+    """
+    return jnp.einsum(
+        "ben,bnd->bed", onehot, node_feats, preferred_element_type=jnp.float32
+    )
+
+
 def _aggregate(
     messages: jax.Array,
     receivers: jax.Array,
@@ -90,6 +105,7 @@ def _message_layer(
     canonical_receivers: bool,
     exact: bool,
     use_pallas: bool | None = None,
+    sender_onehot: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     dim = config.hidden_dimension
     batch, num_nodes, _ = node_feats.shape
@@ -126,8 +142,12 @@ def _message_layer(
             jnp.matmul(feats, w_r, preferred_element_type=feats.dtype) + first["b"]
         )
         edge_proj = jnp.matmul(edge_feats, w_e, preferred_element_type=feats.dtype)
+        if sender_onehot is not None:
+            gathered = _gather_via_onehot(sender_proj, sender_onehot)
+        else:
+            gathered = _gather_nodes(sender_proj, senders)
         return (
-            _gather_nodes(sender_proj, senders).reshape(batch, num_nodes, k, -1)
+            gathered.reshape(batch, num_nodes, k, -1)
             + receiver_proj[:, :, None]
             + edge_proj.reshape(batch, num_nodes, k, -1)
         )
@@ -238,6 +258,19 @@ def graph_neural_network(
     matching the reference's haiku module auto-numbering.
     """
     base = config.layer_cls.replace("Layer", "_layer").lower()  # mpnn_layer
+    # Fast path on TPU: the sender gathers (2 per layer, ~45% of encode device
+    # time at 1/4 HBM rate) become MXU matmuls against ONE bf16 one-hot built
+    # here and reused by every layer.
+    sender_onehot = None
+    if (
+        canonical_receivers
+        and not exact
+        and jax.default_backend() == "tpu"
+        and node_feats.shape[1] <= 2048
+    ):
+        sender_onehot = jax.nn.one_hot(
+            senders, node_feats.shape[1], dtype=jnp.bfloat16
+        )
     for i in range(config.gnn_number_layers):
         idx = 0 if config.shared_layers else i
         scope = base if idx == 0 else f"{base}_{idx}"
@@ -253,6 +286,7 @@ def graph_neural_network(
             canonical_receivers,
             exact,
             use_pallas,
+            sender_onehot,
         )
     return node_feats, edge_feats
 
