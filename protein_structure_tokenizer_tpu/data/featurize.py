@@ -299,9 +299,21 @@ def make_graph_from_pdb(
     downsampling_ratio: int = 1,
     residue_loc_is_alphac: bool = True,
     padding_num_residue: int = 512,
+    use_native: Optional[bool] = None,
 ) -> GraphFeatures:
-    """PDB file -> padded graph, with the reference CLI's validity gates."""
+    """PDB file -> padded graph, with the reference CLI's validity gates.
+
+    ``use_native`` routes the k-NN/edge-feature hot loop through the C++
+    module when built (default: auto-detect); ``preprocess_sample`` falls
+    back to the numpy path whenever the native preconditions don't hold, so
+    features are identical either way (to float64 rounding).
+    """
     from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
+
+    if use_native is None:
+        from protein_structure_tokenizer_tpu import native
+
+        use_native = native.available()
 
     sample = parse_pdb_file(pdb_path)
     if sample.nb_residues > padding_num_residue:
@@ -324,5 +336,6 @@ def make_graph_from_pdb(
             crop_index=padding_num_residue,
             noise_level=0.0,
         ),
+        use_native=use_native,
     )
     return graph
