@@ -25,6 +25,12 @@ def main(argv=None) -> None:
     parser.add_argument("--pdb_dir", type=str, required=True)
     parser.add_argument("--token_save_path", type=str, required=True)
     parser.add_argument("--num_featurize_workers", type=int, default=0)
+    parser.add_argument(
+        "--skip_invalid",
+        action="store_true",
+        help="Log and skip structures that fail featurization instead of "
+        "failing the whole batch (the reference fail-fasts).",
+    )
     add_model_args(parser)
     args = parser.parse_args(argv)
 
@@ -40,6 +46,7 @@ def main(argv=None) -> None:
         batch_size_per_device=args.batch_size_per_device,
         progress=True,
         profile_dir=args.profile_dir,
+        skip_invalid=args.skip_invalid,
     )
 
 

@@ -30,7 +30,6 @@ from protein_structure_tokenizer_tpu.cli.common import (
     setup_logging,
 )
 from protein_structure_tokenizer_tpu.data.featurize import FeaturizeConfig
-from protein_structure_tokenizer_tpu.models import vq3d
 from protein_structure_tokenizer_tpu.models.config import preset
 from protein_structure_tokenizer_tpu.models.losses import FapeConfig, LossConfig
 from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib

@@ -8,7 +8,6 @@ both identically).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 

@@ -10,7 +10,7 @@ each released checkpoint's architecture:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 from protein_structure_tokenizer_tpu.models.attention import (
     AttentionConfig,

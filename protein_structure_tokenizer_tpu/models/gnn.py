@@ -16,8 +16,6 @@ Feature parity with /root/reference/structure_tokenizer/model/gnn_layers.py
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 

@@ -18,7 +18,7 @@ import dataclasses
 import logging
 import os
 from concurrent.futures import ProcessPoolExecutor
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -28,7 +28,7 @@ from protein_structure_tokenizer_tpu.data.featurize import (
     preprocess_sample,
 )
 from protein_structure_tokenizer_tpu.data.pipeline import DataPipeline
-from protein_structure_tokenizer_tpu.data.types import ProteinGraphBatch, TokenizerBatch
+from protein_structure_tokenizer_tpu.data.types import TokenizerBatch
 from protein_structure_tokenizer_tpu.runtime.runner import collate_graphs
 
 logger = logging.getLogger(__name__)

@@ -20,7 +20,7 @@ import os
 import time
 from concurrent.futures import ProcessPoolExecutor
 from itertools import cycle, islice
-from typing import Callable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,14 @@ def _featurize_one(args):
         padding_num_residue=padding,
     )
     return dataclasses.asdict(graph)
+
+
+def _featurize_one_safe(args):
+    """Worker variant that reports failures instead of raising (skip_invalid)."""
+    try:
+        return _featurize_one(args)
+    except Exception as exc:  # noqa: BLE001 — per-sample isolation by design
+        return {"__error__": f"{type(exc).__name__}: {exc}"}
 
 
 def collate_graphs(graph_dicts: Sequence[dict]) -> ProteinGraphBatch:
@@ -194,7 +202,12 @@ class InferenceRunner:
         self.autoencode_fn = _autoencode
 
     # -- featurization ------------------------------------------------------
-    def featurize(self, pdb_paths: Sequence[str]) -> List[dict]:
+    def featurize(
+        self, pdb_paths: Sequence[str], *, skip_invalid: bool = False
+    ) -> List[dict]:
+        """Featurize paths; with ``skip_invalid`` a failing sample yields a
+        ``{"__error__": ...}`` marker instead of raising (the reference
+        fail-fasts its whole batch; production batch jobs want isolation)."""
         cfg = self.config.data
         args = [
             (
@@ -206,11 +219,12 @@ class InferenceRunner:
             )
             for p in pdb_paths
         ]
+        worker = _featurize_one_safe if skip_invalid else _featurize_one
         if self.num_featurize_workers > 0:
             if self._pool is None:
                 self._pool = ProcessPoolExecutor(self.num_featurize_workers)
-            return list(self._pool.map(_featurize_one, args))
-        return [_featurize_one(a) for a in args]
+            return list(self._pool.map(worker, args))
+        return [worker(a) for a in args]
 
     # -- tokenize -----------------------------------------------------------
     def tokenize(
@@ -221,12 +235,17 @@ class InferenceRunner:
         batch_size_per_device: int = 16,
         progress: bool = False,
         profile_dir: Optional[str] = None,
+        skip_invalid: bool = False,
     ) -> dict:
         """Tokenize PDBs; returns {basename: np.ndarray tokens}, optionally
         saving ``<name>_tokens.npy`` files like the reference runner.
 
         ``profile_dir`` captures an XLA profiler trace of the whole loop with
         per-stage host annotations (featurize/collate/device/save).
+        ``skip_invalid`` logs and skips structures that fail featurization
+        (too few/many residues, malformed PDB) instead of failing the batch —
+        their rows are backfilled with a valid structure so the padded batch
+        shape is preserved, and no tokens are emitted for them.
         """
         if token_save_path is not None:
             # Reference semantics: refuse to overwrite an existing output dir
@@ -257,7 +276,20 @@ class InferenceRunner:
                 with timers.annotated_stage("featurize"):
                     # Each host featurizes only the rows it feeds to its own
                     # devices; single-process runs featurize everything.
-                    graphs = self.featurize(chunk[local])
+                    graphs = self.featurize(chunk[local], skip_invalid=skip_invalid)
+                failed_rows = set()
+                if skip_invalid:
+                    donor = next((g for g in graphs if "__error__" not in g), None)
+                    for row, g in enumerate(graphs):
+                        if "__error__" in g:
+                            logger.warning(
+                                "skipping %s: %s", chunk[local][row], g["__error__"]
+                            )
+                            failed_rows.add(row)
+                            graphs[row] = donor
+                    if donor is None:
+                        logger.warning("entire batch %d failed featurization", it)
+                        continue
                 with timers.annotated_stage("collate+shard"):
                     local_batch = collate_graphs(graphs)
                     batch = mesh_lib.shard_batch_from_local(
@@ -275,6 +307,8 @@ class InferenceRunner:
                 with timers.annotated_stage("save"):
                     # Each host writes only its own rows (process-sharded IO).
                     for row, path in enumerate(chunk[local]):
+                        if row in failed_rows:
+                            continue
                         name = os.path.basename(path).split(".pdb")[0]
                         token_array = tokens[row : row + 1, : int(n_tokens[row])]
                         results[name] = token_array

@@ -12,7 +12,6 @@ import functools
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from protein_structure_tokenizer_tpu.data.types import TokenizerBatch

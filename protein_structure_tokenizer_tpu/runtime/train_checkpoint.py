@@ -12,8 +12,6 @@ import logging
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
-
 logger = logging.getLogger(__name__)
 
 

@@ -114,3 +114,24 @@ def test_autoencode_roundtrip(tmp_path):
     tok = runner.tokenize(CASP14[:2], batch_size_per_device=1)
     for name, entry in out.items():
         np.testing.assert_array_equal(entry["tokens"], tok[name].reshape(-1))
+
+
+@pytest.mark.skipif(not CASP14, reason="CASP14 corpus not mounted")
+def test_tokenize_skip_invalid(tmp_path):
+    """A malformed/short PDB is skipped with skip_invalid; others tokenize."""
+    bad = tmp_path / "bad.pdb"
+    bad.write_text("ATOM      1  CA  ALA A   1      0.0   0.0   0.0  1.00  0.00           C\n")
+
+    cfg = preset(4096, 1)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    runner = InferenceRunner(cfg, params)
+
+    paths = [CASP14[0], str(bad)]
+    # Fail-fast default matches the reference.
+    with pytest.raises(Exception):
+        runner.tokenize(paths, batch_size_per_device=1)
+
+    tokens = runner.tokenize(paths, batch_size_per_device=1, skip_invalid=True)
+    good = os.path.basename(CASP14[0]).split(".pdb")[0]
+    assert good in tokens
+    assert "bad" not in tokens
