@@ -25,6 +25,7 @@ from protein_structure_tokenizer_tpu.models.layers import (
     af2_linear,
     af2_linear_init_leaves,
     layer_norm,
+    layer_norm_1pass,
     linear,
     linear_init,
     norm_init,
@@ -120,11 +121,17 @@ def cross_attention_init(key, cfg: AttentionConfig, q_dim: int, m_dim: int) -> P
     }
 
 
-def transition(p: Params, cfg: TransitionConfig, act: jax.Array) -> jax.Array:
-    """AF2 MSATransition: LN -> Linear(relu) -> relu -> Linear."""
+def transition(
+    p: Params, cfg: TransitionConfig, act: jax.Array, *, one_pass_ln: bool = False
+) -> jax.Array:
+    """AF2 MSATransition: LN -> Linear(relu) -> relu -> Linear.
+
+    ``one_pass_ln`` uses single-read LN statistics (fast path for HBM-bound
+    pair tensors; exact paths keep the reference's two-pass form)."""
 
     def body(x):
-        x = layer_norm(p["input_layer_norm"], x)
+        ln = layer_norm_1pass if one_pass_ln else layer_norm
+        x = ln(p["input_layer_norm"], x)
         x = af2_linear(p["transition1"], x)
         x = jax.nn.relu(x)
         return af2_linear(p["transition2"], x)

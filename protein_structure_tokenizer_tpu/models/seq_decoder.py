@@ -22,6 +22,7 @@ from protein_structure_tokenizer_tpu.models.layers import (
     af2_linear,
     af2_linear_init_leaves,
     layer_norm,
+    layer_norm_1pass,
     linear,
     linear_init,
     norm_init,
@@ -46,11 +47,14 @@ class SeqDecoderConfig:
 
 
 def pairwise_representation(
-    p: Params, cfg: PairRepConfig, x: jax.Array, mask: jax.Array
+    p: Params, cfg: PairRepConfig, x: jax.Array, mask: jax.Array,
+    *, one_pass_ln: bool = False,
 ) -> jax.Array:
     """Outer-product pair init (AF2 alg.10 flavor).
 
     x: (B, N, C); mask: (B, N, 1) row validity. Returns (B, N, N, output_dim).
+    ``one_pass_ln`` uses single-read LN statistics on the (B, N, N, C) output
+    (fast path; the exact path keeps the reference's two-pass form).
     """
     x = layer_norm(p["layer_norm_input"], x)
     left = mask * af2_linear(p["left_projection"], x)
@@ -63,7 +67,8 @@ def pairwise_representation(
 
     residual = af2_linear(p["right_projection_1"], outer)
     if cfg.lnormalisation:
-        return layer_norm(p["layer_norm_output"], pair + residual)
+        ln = layer_norm_1pass if one_pass_ln else layer_norm
+        return ln(p["layer_norm_output"], pair + residual)
     return pair + residual
 
 
@@ -173,6 +178,7 @@ def sequence_decoder(
         cfg.pair_representation,
         single_emb,
         nodes_mask,
+        one_pass_ln=not exact,
     )
 
     # Dense all-pairs relative PE over index differences sender - receiver.
@@ -195,7 +201,8 @@ def sequence_decoder(
             relpos_term = relpos_term + b
         pair = pair @ w[d:].astype(pair.dtype) + relpos_term[None]
     pair = transition(
-        subtree(params, "pair_transition_init"), cfg.pair_transition, pair
+        subtree(params, "pair_transition_init"), cfg.pair_transition, pair,
+        one_pass_ln=not exact,
     )
     return single_emb, pair
 

@@ -26,6 +26,7 @@ from protein_structure_tokenizer_tpu.models.layers import (
     af2_linear,
     af2_linear_init_leaves,
     layer_norm,
+    layer_norm_1pass,
     norm_init,
 )
 from protein_structure_tokenizer_tpu.utils.params import Params, subtree, with_prefix
@@ -299,7 +300,10 @@ def structure_module(
     batch, num_res = act.shape[:2]
     affine = QuatRigid.identity((batch, num_res))
 
-    act_2d = layer_norm(params["pair_layer_norm"], representations["pair"])
+    # The (B, N, N, C) pair LN uses one-pass statistics on the fast path
+    # (single HBM read; see layers.layer_norm_1pass).
+    pair_ln = layer_norm if exact else layer_norm_1pass
+    act_2d = pair_ln(params["pair_layer_norm"], representations["pair"])
 
     fold_params = subtree(params, "fold_iteration")
 
