@@ -265,6 +265,7 @@ def graph_neural_network(
     canonical_receivers: bool = True,
     exact: bool = False,
     use_pallas: bool | None = None,
+    sender_onehot: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Stack of message-passing layers; returns (node_feats, edge_feats).
 
@@ -273,10 +274,10 @@ def graph_neural_network(
     """
     base = config.layer_cls.replace("Layer", "_layer").lower()  # mpnn_layer
     # Fast path on TPU: the sender gathers (2 per layer, ~45% of encode device
-    # time at 1/4 HBM rate) become MXU matmuls against ONE bf16 one-hot built
-    # here and reused by every layer.
-    sender_onehot = None
-    if (
+    # time at 1/4 HBM rate) become MXU matmuls against ONE bf16 one-hot —
+    # passed in by the caller (structure_encoder reuses it for the edge PE)
+    # or built here.
+    if sender_onehot is None and (
         canonical_receivers
         and not exact
         and jax.default_backend() == "tpu"
@@ -285,6 +286,8 @@ def graph_neural_network(
         sender_onehot = jax.nn.one_hot(
             senders, node_feats.shape[1], dtype=jnp.bfloat16
         )
+    if exact or not canonical_receivers:
+        sender_onehot = None
     for i in range(config.gnn_number_layers):
         idx = 0 if config.shared_layers else i
         scope = base if idx == 0 else f"{base}_{idx}"
