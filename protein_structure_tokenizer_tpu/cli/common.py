@@ -58,7 +58,20 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
     )
 
 
+def force_backend(backend: str | None) -> None:
+    """Pin jax to ``backend`` before any device is touched.
+
+    The env-var route (``JAX_PLATFORMS=cpu``) is unreliable: site hooks may
+    re-register an accelerator plugin and override the variable at interpreter
+    start.  ``jax.config`` wins as long as no backend has been initialized
+    yet, so the CLIs call this first thing.
+    """
+    if backend in ("cpu", "tpu"):
+        jax.config.update("jax_platforms", backend)
+
+
 def build_runner(args) -> InferenceRunner:
+    force_backend(args.backend)
     mesh_lib.initialize_distributed()
     cfg = preset(args.codebook_size, args.model_downsampling)
     template = vq3d.init(jax.random.PRNGKey(0), cfg)

@@ -15,7 +15,11 @@ import time
 
 import numpy as np
 
-from protein_structure_tokenizer_tpu.cli.common import CODEBOOK_CHOICES, setup_logging
+from protein_structure_tokenizer_tpu.cli.common import (
+    CODEBOOK_CHOICES,
+    force_backend,
+    setup_logging,
+)
 from protein_structure_tokenizer_tpu.lm import gpt, sampling
 
 logger = logging.getLogger(__name__)
@@ -60,9 +64,13 @@ def main(argv=None) -> None:
     parser.add_argument("--block_size", type=int, default=None)
     parser.add_argument("--no_cache", action="store_true",
                         help="reference-equivalent full-forward sampling")
+    parser.add_argument("--backend", type=str, default=None,
+                        choices=["cpu", "gpu", "tpu", None])
     args = parser.parse_args(argv)
 
     import jax
+
+    force_backend(args.backend)
 
     cfg = gpt.released_gpt_config(args.codebook_size)
     overrides = {}

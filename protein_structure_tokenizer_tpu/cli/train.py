@@ -27,6 +27,7 @@ import numpy as np
 
 from protein_structure_tokenizer_tpu.cli.common import (
     CODEBOOK_CHOICES,
+    force_backend,
     setup_logging,
 )
 from protein_structure_tokenizer_tpu.data.featurize import FeaturizeConfig
@@ -72,12 +73,15 @@ def parse_args(argv=None):
                    help="Re-featurize every epoch instead of caching in memory")
     p.add_argument("--export_params", type=str, default=None,
                    help="Write final params as a native npz after training")
+    p.add_argument("--backend", type=str, default=None,
+                   choices=["cpu", "gpu", "tpu", None])
     return p.parse_args(argv)
 
 
 def main(argv=None) -> None:
     setup_logging()
     args = parse_args(argv)
+    force_backend(args.backend)
     mesh_lib.initialize_distributed()
 
     cfg = preset(args.codebook_size, args.model_downsampling)

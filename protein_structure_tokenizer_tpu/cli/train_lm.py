@@ -22,7 +22,11 @@ import time
 import jax
 import numpy as np
 
-from protein_structure_tokenizer_tpu.cli.common import CODEBOOK_CHOICES, setup_logging
+from protein_structure_tokenizer_tpu.cli.common import (
+    CODEBOOK_CHOICES,
+    force_backend,
+    setup_logging,
+)
 from protein_structure_tokenizer_tpu.lm import gpt
 from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
 from protein_structure_tokenizer_tpu.runtime.train_checkpoint import TrainCheckpointManager
@@ -62,12 +66,15 @@ def parse_args(argv=None):
     p.add_argument("--max_to_keep", type=int, default=3)
     p.add_argument("--export_params", type=str, default=None,
                    help="Write final params (.joblib for cli.gpt_generation)")
+    p.add_argument("--backend", type=str, default=None,
+                   choices=["cpu", "gpu", "tpu", None])
     return p.parse_args(argv)
 
 
 def main(argv=None) -> None:
     setup_logging()
     args = parse_args(argv)
+    force_backend(args.backend)
     mesh_lib.initialize_distributed()
 
     cfg = gpt.released_gpt_config(args.codebook_size)
