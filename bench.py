@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.join(REPO_ROOT, "tests", "refsupport"))
 
 CASP14_DIR = "/root/reference/casp14_pdbs"
 BASELINE_CACHE = os.path.join(REPO_ROOT, "bench_baseline.json")
-BATCH = 32
+BATCH = 64  # amortizes per-dispatch tunnel latency better than 32 (measured)
 TIMED_ITERS = 5
 
 

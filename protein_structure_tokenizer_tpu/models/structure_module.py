@@ -111,6 +111,9 @@ def invariant_point_attention(
 
     qp = jnp.transpose(q_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3)
     kp = jnp.transpose(k_point, (0, 3, 1, 4, 2))
+    q = jnp.swapaxes((scalar_weights * q_scalar).astype(in_dtype), -2, -3)  # (B,h,N,sqk)
+    k = jnp.swapaxes(k_scalar, -2, -3)
+    v = jnp.swapaxes(v_scalar, -2, -3)
     if exact:
         # Reference form: broadcast-subtract then reduce — materializes a
         # (B, h, Nq, Nk, P) intermediate but is bit-identical to folding.py.
@@ -120,22 +123,33 @@ def invariant_point_attention(
         attn_qk_point = -0.5 * jnp.sum(
             head_point_weights[None, :, None, None, None] * dist2, axis=-1
         )
+        attn_qk_scalar = jnp.einsum("bhqc,bhkc->bhqk", q, k, preferred_element_type=f32)
+        attn_logits = attn_qk_scalar + attn_qk_point
     else:
-        # |q-k|^2 summed over points = |q|^2 + |k|^2 - 2 q.k: the cross term
-        # is one MXU contraction over P*3=12 dims, no O(N^2 P) intermediate.
+        # |q-k|^2 summed over points = |q|^2 + |k|^2 - 2 q.k.  Folding the
+        # cross term into the scalar contraction (scale q,k points by
+        # sqrt(head_weight)) makes the whole N^2 logit tensor ONE MXU matmul
+        # over sqk + 3*pqk dims; the remaining |q|^2/|k|^2 terms are rank-1
+        # row/column biases that fuse into the softmax elementwise pass —
+        # halves the (B, h, N, N) HBM intermediates vs two separate einsums.
         qn = jnp.sum(qp * qp, axis=(-1, -2))  # (B, h, N)
         kn = jnp.sum(kp * kp, axis=(-1, -2))
-        cross = jnp.einsum(
-            "bhqpc,bhkpc->bhqk", qp, kp, preferred_element_type=jnp.float32
+        sqrt_hw = jnp.sqrt(head_point_weights)[None, :, None, None]  # (1,h,1,1)
+        q_cat = jnp.concatenate(
+            [q.astype(f32), (sqrt_hw * qp.reshape(qp.shape[:3] + (-1,)))], axis=-1
         )
-        sum_dist2 = qn[..., :, None] + kn[..., None, :] - 2.0 * cross
-        attn_qk_point = -0.5 * head_point_weights[None, :, None, None] * sum_dist2
-
-    q = jnp.swapaxes((scalar_weights * q_scalar).astype(in_dtype), -2, -3)  # (B,h,N,sqk)
-    k = jnp.swapaxes(k_scalar, -2, -3)
-    v = jnp.swapaxes(v_scalar, -2, -3)
-    attn_qk_scalar = jnp.einsum("bhqc,bhkc->bhqk", q, k, preferred_element_type=f32)
-    attn_logits = attn_qk_scalar + attn_qk_point
+        k_cat = jnp.concatenate(
+            [k.astype(f32), (sqrt_hw * kp.reshape(kp.shape[:3] + (-1,)))], axis=-1
+        )
+        attn_logits = jnp.einsum(
+            "bhqc,bhkc->bhqk", q_cat, k_cat, preferred_element_type=f32
+        )
+        hw = head_point_weights[None, :, None]  # (1, h, 1)
+        attn_logits = (
+            attn_logits
+            - (0.5 * hw * qn)[..., :, None]
+            - (0.5 * hw * kn)[..., None, :]
+        )
 
     if attention_2d is None:
         attention_2d = af2_linear(p["attention_2d"], inputs_2d)  # (B, N, N, h)
@@ -148,21 +162,35 @@ def invariant_point_attention(
 
     attn = jax.nn.softmax(attn_logits)  # (B, h, Nq, Nk) f32
 
-    result_scalar = jnp.einsum(
-        "bhqk,bhkc->bhqc", attn.astype(in_dtype), v, preferred_element_type=f32
-    ).astype(in_dtype)
-    result_scalar = jnp.swapaxes(result_scalar, -2, -3).reshape(batch, num_res, h * sv)
-
     vp = jnp.transpose(v_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3) f32
     if exact:
+        result_scalar = jnp.einsum(
+            "bhqk,bhkc->bhqc", attn.astype(in_dtype), v, preferred_element_type=f32
+        ).astype(in_dtype)
         # Float32 multiply+reduce (the reference's TPU trick, folding.py:233-241).
         result_point_global = jnp.sum(
             attn[..., None, None] * vp[:, :, None, :, :, :], axis=-3
         )  # (B, h, Nq, P, 3)
+    elif in_dtype == f32:
+        # One contraction for scalar + point values: a single read of the
+        # (B, h, N, N) attention tensor instead of two.
+        v_cat = jnp.concatenate([v, vp.reshape(vp.shape[:3] + (-1,))], axis=-1)
+        result_cat = jnp.einsum(
+            "bhqk,bhkc->bhqc", attn, v_cat, preferred_element_type=f32
+        )
+        result_scalar, result_point_flat = jnp.split(result_cat, [sv], axis=-1)
+        result_point_global = result_point_flat.reshape(
+            result_point_flat.shape[:3] + (pv, 3)
+        )
     else:
+        result_scalar = jnp.einsum(
+            "bhqk,bhkc->bhqc", attn.astype(in_dtype), v, preferred_element_type=f32
+        ).astype(in_dtype)
         result_point_global = jnp.einsum(
             "bhqk,bhkpc->bhqpc", attn, vp, preferred_element_type=jnp.float32
         )
+    result_scalar = result_scalar.astype(in_dtype)
+    result_scalar = jnp.swapaxes(result_scalar, -2, -3).reshape(batch, num_res, h * sv)
     result_point_global = jnp.transpose(result_point_global, (0, 2, 4, 1, 3)).reshape(
         batch, num_res, 3, h * pv
     )
