@@ -184,6 +184,11 @@ def cross_attention_scaler(
     """
     del output_mask, input_mask
     batch = single_act.shape[0]
+    # The scan carry is pinned to the incoming compute dtype: inner f32
+    # islands (softmax) may locally promote, and the sinusoidal queries are
+    # built in f32 — without the casts a bf16 compute policy would silently
+    # upcast the whole resampled track (and everything downstream) to f32.
+    dtype = single_act.dtype
 
     original = single_act
     if cfg.use_original_posenc:
@@ -191,13 +196,14 @@ def cross_attention_scaler(
         length = single_act.shape[-2]
         in_pos = sinusoidal_features(jnp.arange(length), length, in_dim)
         in_pos = jnp.broadcast_to(in_pos[None], (batch,) + in_pos.shape)
-        original = jnp.concatenate([in_pos, single_act], axis=-1)
+        original = jnp.concatenate([in_pos.astype(dtype), single_act], axis=-1)
         original = linear(params["linear_proj_original"], original)
 
     offset = cfg.use_global_node if cfg.use_global_node else 0
     t_out = cfg.max_out_len + offset
     resampled = sinusoidal_features(jnp.arange(t_out), t_out, cfg.out_emb_size)
     resampled = jnp.broadcast_to(resampled[None], (batch,) + resampled.shape)
+    resampled = resampled.astype(dtype)
 
     iter_params = subtree(params, "cross_attn_scaler_iteration")
 
@@ -212,7 +218,7 @@ def cross_attention_scaler(
         original = original + transition(
             subtree(layer_p, "original_transition"), cfg.original_transition, original
         )
-        return (original.astype(jnp.float32), resampled.astype(jnp.float32))
+        return (original.astype(dtype), resampled.astype(dtype))
 
     if cfg.use_remat:
         block = jax.checkpoint(block)

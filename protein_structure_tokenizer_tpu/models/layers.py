@@ -94,15 +94,27 @@ def layer_norm(p: Leaves, x: jax.Array, *, eps: float = 1e-5) -> jax.Array:
 def layer_norm_1pass(p: Leaves, x: jax.Array, *, eps: float = 1e-5) -> jax.Array:
     """LayerNorm with one-pass statistics: var = E[x^2] - E[x]^2.
 
-    The two reductions are independent, so XLA fuses them into a single read
-    of ``x`` — for HBM-bound (B, N, N, C) pair tensors this halves the LN's
-    memory traffic vs the sequential mean-then-centered-variance form.  The
-    one-pass variance loses ~half the float mantissa when |mean| >> std;
-    activations are LN-scale (O(1) mean and std) so the drift is ~1e-6 —
-    exact/conformance paths keep :func:`layer_norm`.
+    Both moments come from ONE variadic ``lax.reduce`` so the statistics cost
+    a single read of ``x`` (profiled: two separate ``jnp.mean`` reductions are
+    NOT fused by XLA — each re-reads the full tensor, ~7 ms per pass on a
+    (32, 512, 512, 128) f32 pair tensor).  The one-pass variance loses ~half
+    the float mantissa when |mean| >> std; activations are LN-scale (O(1)
+    mean and std) so the drift is ~1e-6 — exact/conformance paths keep
+    :func:`layer_norm`.
     """
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    mean_sq = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    xa = x.astype(acc_dtype)
+    zero = jnp.zeros((), acc_dtype)
+
+    def both(a, b):
+        return (a[0] + b[0], a[1] + b[1])
+
+    s, s2 = jax.lax.reduce(
+        (xa, jnp.square(xa)), (zero, zero), both, dimensions=(x.ndim - 1,)
+    )
+    denom = 1.0 / x.shape[-1]
+    mean = (s * denom)[..., None].astype(x.dtype)
+    mean_sq = (s2 * denom)[..., None].astype(x.dtype)
     var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
     inv = p["scale"] * jax.lax.rsqrt(var + eps)
     return inv * (x - mean) + p["offset"]
