@@ -18,7 +18,7 @@ import functools
 import logging
 import os
 import time
-from concurrent.futures import ProcessPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from itertools import cycle, islice
 from typing import List, Optional, Sequence
 
@@ -246,6 +246,13 @@ class InferenceRunner:
         (too few/many residues, malformed PDB) instead of failing the batch —
         their rows are backfilled with a valid structure so the padded batch
         shape is preserved, and no tokens are emitted for them.
+
+        The host input pipeline is one batch ahead of the device: while the
+        device crunches batch ``i``, a prefetch thread featurizes, collates
+        and device_puts batch ``i+1`` (host featurization and device forward
+        are the two comparable-cost stages of the loop — overlapping them
+        approaches ``max`` instead of ``sum``).  The reference runs every
+        stage sequentially (inference_runner.py:286-306).
         """
         if token_save_path is not None:
             # Reference semantics: refuse to overwrite an existing output dir
@@ -268,54 +275,72 @@ class InferenceRunner:
             except ImportError:
                 pass
 
-        with device_trace(profile_dir):
-            local = mesh_lib.process_local_slice(self.mesh, global_batch)
-            for it in iterator:
-                chunk = padded_paths[it * global_batch : (it + 1) * global_batch]
-                start = time.perf_counter()
-                with timers.annotated_stage("featurize"):
-                    # Each host featurizes only the rows it feeds to its own
-                    # devices; single-process runs featurize everything.
-                    graphs = self.featurize(chunk[local], skip_invalid=skip_invalid)
-                failed_rows = set()
-                if skip_invalid:
-                    donor = next((g for g in graphs if "__error__" not in g), None)
-                    for row, g in enumerate(graphs):
-                        if "__error__" in g:
-                            logger.warning(
-                                "skipping %s: %s", chunk[local][row], g["__error__"]
-                            )
-                            failed_rows.add(row)
-                            graphs[row] = donor
-                    if donor is None:
+        local = mesh_lib.process_local_slice(self.mesh, global_batch)
+
+        def prepare(it: int):
+            """Host-side work for one batch: featurize -> collate -> shard."""
+            chunk = padded_paths[it * global_batch : (it + 1) * global_batch]
+            with timers.annotated_stage("featurize"):
+                # Each host featurizes only the rows it feeds to its own
+                # devices; single-process runs featurize everything.
+                graphs = self.featurize(chunk[local], skip_invalid=skip_invalid)
+            failed_rows = set()
+            if skip_invalid:
+                donor = next((g for g in graphs if "__error__" not in g), None)
+                for row, g in enumerate(graphs):
+                    if "__error__" in g:
+                        logger.warning(
+                            "skipping %s: %s", chunk[local][row], g["__error__"]
+                        )
+                        failed_rows.add(row)
+                        graphs[row] = donor
+                if donor is None:
+                    return chunk, failed_rows, None, None
+            with timers.annotated_stage("collate+shard"):
+                local_batch = collate_graphs(graphs)
+                batch = mesh_lib.shard_batch_from_local(
+                    self.mesh, local_batch, global_batch
+                )
+            return chunk, failed_rows, local_batch, batch
+
+        prefetcher = ThreadPoolExecutor(1)
+        try:
+            with device_trace(profile_dir):
+                pending = prefetcher.submit(prepare, 0)
+                for it in iterator:
+                    chunk, failed_rows, local_batch, batch = pending.result()
+                    if it + 1 < num_iterations:
+                        pending = prefetcher.submit(prepare, it + 1)
+                    if local_batch is None:
                         logger.warning("entire batch %d failed featurization", it)
                         continue
-                with timers.annotated_stage("collate+shard"):
-                    local_batch = collate_graphs(graphs)
-                    batch = mesh_lib.shard_batch_from_local(
-                        self.mesh, local_batch, global_batch
+                    start = time.perf_counter()
+                    with timers.annotated_stage("device"):
+                        out = self.tokenize_fn(self.params, batch)
+                        tokens = mesh_lib.local_rows(out["tokens"])
+                    n_tokens = np.asarray(local_batch.tokens_mask).reshape(
+                        tokens.shape[0], -1
+                    ).sum(axis=1)
+                    logger.info(
+                        "tokenized %d structures in %.3fs",
+                        global_batch,
+                        time.perf_counter() - start,
                     )
-                with timers.annotated_stage("device"):
-                    out = self.tokenize_fn(self.params, batch)
-                    tokens = mesh_lib.local_rows(out["tokens"])
-                n_tokens = np.asarray(local_batch.tokens_mask).reshape(
-                    len(graphs), -1
-                ).sum(axis=1)
-                logger.info(
-                    "tokenized %d structures in %.3fs", global_batch, time.perf_counter() - start
-                )
-                with timers.annotated_stage("save"):
-                    # Each host writes only its own rows (process-sharded IO).
-                    for row, path in enumerate(chunk[local]):
-                        if row in failed_rows:
-                            continue
-                        name = os.path.basename(path).split(".pdb")[0]
-                        token_array = tokens[row : row + 1, : int(n_tokens[row])]
-                        results[name] = token_array
-                        if token_save_path is not None:
-                            np.save(
-                                os.path.join(token_save_path, name + "_tokens"), token_array
-                            )
+                    with timers.annotated_stage("save"):
+                        # Each host writes only its own rows (process-sharded IO).
+                        for row, path in enumerate(chunk[local]):
+                            if row in failed_rows:
+                                continue
+                            name = os.path.basename(path).split(".pdb")[0]
+                            token_array = tokens[row : row + 1, : int(n_tokens[row])]
+                            results[name] = token_array
+                            if token_save_path is not None:
+                                np.save(
+                                    os.path.join(token_save_path, name + "_tokens"),
+                                    token_array,
+                                )
+        finally:
+            prefetcher.shutdown(wait=False, cancel_futures=True)
         timers.log_summary("tokenize stages")
         return results
 
