@@ -135,3 +135,22 @@ def test_tokenize_skip_invalid(tmp_path):
     good = os.path.basename(CASP14[0]).split(".pdb")[0]
     assert good in tokens
     assert "bad" not in tokens
+
+
+@pytest.mark.skipif(not CASP14, reason="CASP14 corpus not mounted")
+def test_tokens_independent_of_mesh_topology():
+    """Token ids must not depend on how the batch is sharded: a 1-device mesh
+    and the full 8-device mesh produce byte-identical tokens for the same
+    inputs (SURVEY.md §7 hard part 5: multi-host/topology determinism)."""
+    cfg = preset(4096, 1)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    pdbs = CASP14[:2]
+
+    runner_1 = InferenceRunner(cfg, params, mesh_lib.make_mesh(jax.devices()[:1]))
+    runner_8 = InferenceRunner(cfg, params, mesh_lib.make_mesh())
+    tokens_1 = runner_1.tokenize(pdbs, batch_size_per_device=8)
+    tokens_8 = runner_8.tokenize(pdbs, batch_size_per_device=1)
+
+    assert tokens_1.keys() == tokens_8.keys()
+    for name in tokens_1:
+        np.testing.assert_array_equal(tokens_1[name], tokens_8[name])
