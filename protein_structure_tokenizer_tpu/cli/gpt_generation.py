@@ -66,6 +66,10 @@ def main(argv=None) -> None:
                         help="reference-equivalent full-forward sampling")
     parser.add_argument("--backend", type=str, default=None,
                         choices=["cpu", "gpu", "tpu", None])
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        help="Model-axis size: shard each transformer block "
+                        "Megatron-style over this many chips (must divide "
+                        "device count, num_heads, and ffn dim).")
     args = parser.parse_args(argv)
 
     import jax
@@ -97,6 +101,17 @@ def main(argv=None) -> None:
         params = gpt.init(jax.random.PRNGKey(args.seed), cfg)
         logger.warning("no --params_path: using RANDOM weights (smoke mode)")
 
+    mesh = None
+    if args.tensor_parallel > 1:
+        from protein_structure_tokenizer_tpu.parallel import tp
+
+        mesh = tp.make_2d_mesh(args.tensor_parallel)
+        params = tp.shard_gpt_params(params, mesh)
+        logger.info(
+            "tensor parallel over %d chips (mesh %s)", args.tensor_parallel,
+            dict(mesh.shape),
+        )
+
     seq_dir = os.path.join(args.sequence_save_path, "seqs")
     os.makedirs(seq_dir, exist_ok=True)
 
@@ -108,7 +123,8 @@ def main(argv=None) -> None:
 
     key = jax.random.PRNGKey(args.seed)
     key, _ = jax.random.split(key)
-    batch = args.batch_size_per_device * jax.device_count()
+    # Under tensor parallelism the data axis spans device_count / tp chips.
+    batch = args.batch_size_per_device * (jax.device_count() // args.tensor_parallel)
     num_iterations = max(1, args.num_sequences // batch)
     sampling_keys = jax.random.split(key, num=num_iterations)
 
@@ -135,6 +151,7 @@ def main(argv=None) -> None:
             num_tokens=cfg.max_position_embeddings,
             method=args.sampling_method,
             use_cache=not args.no_cache,
+            mesh=mesh,
             **kwargs,
         )
         all_sequences.append(np.asarray(tokens))

@@ -22,7 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import Mesh, PartitionSpec as P
+
 from protein_structure_tokenizer_tpu.models.layers import layer_norm, linear, rms_norm
+from protein_structure_tokenizer_tpu.parallel import tp
 from protein_structure_tokenizer_tpu.utils.params import Params, subtree
 from protein_structure_tokenizer_tpu.models.init import variance_scaling_truncated_fan_in
 
@@ -129,14 +132,24 @@ def attention(
     attention_mask: jax.Array,  # broadcastable to (B, H, Tq, Tk)
     kv_cache: Optional[dict] = None,
     cache_index: Optional[jax.Array] = None,
+    mesh: Optional[Mesh] = None,
 ) -> tuple[jax.Array, Optional[dict]]:
     batch, t, _ = x.shape
     h, k_size = cfg.num_heads, cfg.key_size
     rot = cfg.rope_dimensions or k_size
 
+    # Tensor parallelism (parallel/tp.py): qkv are column-sharded so the head
+    # axis lands split over the "model" mesh axis; the single constraint after
+    # the reshape pins that layout, and the row-sharded out_linear contraction
+    # makes GSPMD insert the block's one psum.
+    head_spec = P(tp.DATA_AXIS, None, tp.MODEL_AXIS, None)
+
     keys = linear(p["key_linear"], x).reshape(batch, t, h, k_size)
     queries = linear(p["query_linear"], x).reshape(batch, t, h, k_size)
     values = linear(p["value_linear"], x).reshape(batch, t, h, k_size)
+    keys = tp.constrain(keys, mesh, head_spec)
+    queries = tp.constrain(queries, mesh, head_spec)
+    values = tp.constrain(values, mesh, head_spec)
 
     positions = jnp.arange(t)[None]
     if cache_index is not None:
@@ -180,27 +193,43 @@ def decoder_layer(
     attention_mask: jax.Array,
     kv_cache: Optional[dict] = None,
     cache_index: Optional[jax.Array] = None,
+    mesh: Optional[Mesh] = None,
 ) -> tuple[jax.Array, Optional[dict]]:
     act = _activation(cfg.ffn_activation)
+    hidden_spec = P(tp.DATA_AXIS, None, tp.MODEL_AXIS)
 
     def mlp(h):
         if cfg.use_glu_in_ffn:
-            x1, x2 = jnp.split(linear(p["fc1_linear_glu"], h), 2, axis=-1)
+            glu_p = p["fc1_linear_glu"]
+            if "w_gate" in glu_p:
+                # Tensor-parallel placement (tp.shard_gpt_params) stores the
+                # two GLU halves as separate column-sharded leaves: the global
+                # halves of the fused (E, 2F) weight would each span only half
+                # the "model" axis and force a reshard before the elementwise
+                # product.
+                x1 = jnp.matmul(h, glu_p["w_gate"], preferred_element_type=h.dtype)
+                x2 = jnp.matmul(h, glu_p["w_value"], preferred_element_type=h.dtype)
+                x1 = tp.constrain(x1, mesh, hidden_spec)
+                x2 = tp.constrain(x2, mesh, hidden_spec)
+            else:
+                x1, x2 = jnp.split(linear(glu_p, h), 2, axis=-1)
             h = act(x1) * x2
         else:
-            h = act(linear(p["fc1_linear"], h))
+            h = tp.constrain(act(linear(p["fc1_linear"], h)), mesh, hidden_spec)
         return linear(p["fc2_linear"], h)
 
     if cfg.parallel_attention_ff:
         normed = _norm(p, cfg, "attn", x)
         attn_out, kv_cache = attention(
-            subtree(p, "self_attn/~"), cfg, normed, attention_mask, kv_cache, cache_index
+            subtree(p, "self_attn/~"), cfg, normed, attention_mask, kv_cache,
+            cache_index, mesh=mesh,
         )
         return x + attn_out + mlp(normed), kv_cache
 
     normed = _norm(p, cfg, "attn", x)
     attn_out, kv_cache = attention(
-        subtree(p, "self_attn/~"), cfg, normed, attention_mask, kv_cache, cache_index
+        subtree(p, "self_attn/~"), cfg, normed, attention_mask, kv_cache,
+        cache_index, mesh=mesh,
     )
     x = x + attn_out
     x = x + mlp(_norm(p, cfg, "ffn", x))
@@ -216,15 +245,22 @@ def forward(
     cfg: GptConfig,
     token_ids: jax.Array,  # (B, T)
     attention_mask: Optional[jax.Array] = None,
+    *,
+    mesh: Optional[Mesh] = None,
 ) -> dict:
-    """Full non-cached forward — numerically equivalent to the reference."""
+    """Full non-cached forward — numerically equivalent to the reference.
+
+    ``mesh`` with a "model" axis enables tensor parallelism; params must then
+    be placed with :func:`parallel.tp.shard_gpt_params`.
+    """
     p = subtree(params, "gpt_decoder")
     x = jnp.take(p["~/token_embed"]["embeddings"], token_ids, axis=0)
     if attention_mask is None:
         attention_mask = build_causal_mask(1, x.shape[1])
     for i in range(cfg.num_layers):
         x, _ = decoder_layer(
-            subtree(p, f"gpt_decoder_layer_{i}/~"), cfg, x, attention_mask
+            subtree(p, f"gpt_decoder_layer_{i}/~"), cfg, x, attention_mask,
+            mesh=mesh,
         )
     if cfg.norm_type == "layer_norm":
         x = layer_norm(p["~/final_layer_norm"], x)
@@ -239,12 +275,18 @@ def forward(
 # ---------------------------------------------------------------------------
 
 
-def init_kv_cache(cfg: GptConfig, batch: int, max_len: int) -> list:
+def init_kv_cache(
+    cfg: GptConfig, batch: int, max_len: int, *, mesh: Optional[Mesh] = None
+) -> list:
     shape = (batch, max_len, cfg.num_heads, cfg.key_size)
-    return [
-        {"k": jnp.zeros(shape, jnp.float32), "v": jnp.zeros(shape, jnp.float32)}
-        for _ in range(cfg.num_layers)
-    ]
+
+    def zeros():
+        z = jnp.zeros(shape, jnp.float32)
+        # Under tensor parallelism the cache shards with the head axis (same
+        # layout the attention constraint pins for fresh keys/values).
+        return tp.constrain(z, mesh, P(tp.DATA_AXIS, None, tp.MODEL_AXIS, None))
+
+    return [{"k": zeros(), "v": zeros()} for _ in range(cfg.num_layers)]
 
 
 def forward_step(
@@ -253,6 +295,8 @@ def forward_step(
     token_ids: jax.Array,  # (B, 1) current step's token
     cache: list,
     cache_index: jax.Array,  # scalar int: number of tokens already cached
+    *,
+    mesh: Optional[Mesh] = None,
 ) -> tuple[jax.Array, list]:
     """One incremental step; returns (logits (B, vocab), updated cache)."""
     p = subtree(params, "gpt_decoder")
@@ -272,6 +316,7 @@ def forward_step(
             attention_mask,
             kv_cache=cache[i],
             cache_index=cache_index,
+            mesh=mesh,
         )
         new_cache.append(layer_cache)
     if cfg.norm_type == "layer_norm":

@@ -78,12 +78,17 @@ def generate(
     *,
     method: str = "temperature",
     use_cache: bool = True,
+    mesh=None,
     **sampling_kwargs,
 ) -> jax.Array:
     """Generate (batch, num_tokens) sequences starting from BOS.
 
     Step t samples from the logits at position t and writes at t+1 (the final
     step's write falls off the end, as in the reference).
+
+    ``mesh`` with a "model" axis runs the forward tensor-parallel
+    (parallel/tp.py); ``params`` must then be placed with
+    ``tp.shard_gpt_params``.
     """
     num_tokens = num_tokens or cfg.max_position_embeddings
     sampler = _sampler(method, **sampling_kwargs)
@@ -92,7 +97,7 @@ def generate(
     if not use_cache:
         def step(carry, t):
             tokens, key = carry
-            logits = gpt.forward(params, cfg, tokens)["logits"]
+            logits = gpt.forward(params, cfg, tokens, mesh=mesh)["logits"]
             step_logits = jnp.take(logits, t, axis=1)
             key, sub = jax.random.split(key)
             new_token = sampler(sub, step_logits)
@@ -102,12 +107,12 @@ def generate(
         (tokens, _), _ = jax.lax.scan(step, (tokens, key), jnp.arange(num_tokens))
         return tokens
 
-    cache = gpt.init_kv_cache(cfg, batch_size, num_tokens)
+    cache = gpt.init_kv_cache(cfg, batch_size, num_tokens, mesh=mesh)
 
     def step(carry, t):
         tokens, cache, key = carry
         current = jax.lax.dynamic_slice_in_dim(tokens, t, 1, axis=1)
-        logits, cache = gpt.forward_step(params, cfg, current, cache, t)
+        logits, cache = gpt.forward_step(params, cfg, current, cache, t, mesh=mesh)
         key, sub = jax.random.split(key)
         new_token = sampler(sub, logits)
         tokens = _write_at(tokens, t + 1, new_token.astype(jnp.int32))
