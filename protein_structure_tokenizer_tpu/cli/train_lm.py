@@ -33,7 +33,9 @@ from protein_structure_tokenizer_tpu.runtime.train_checkpoint import TrainCheckp
 from protein_structure_tokenizer_tpu.runtime.train_lm import (
     LmTrainConfig,
     TokenSequenceDataset,
+    init_pp_train_state,
     init_train_state,
+    make_pp_train_step,
     make_train_step,
 )
 
@@ -60,6 +62,11 @@ def parse_args(argv=None):
     p.add_argument("--num_heads", type=int, default=None,
                    help="Override head count (required if --embed_dim makes "
                    "the default 16 heads' key size < rope_dimensions)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="Pipeline stages (GPipe over a ('data','pipe') mesh); "
+                   "must divide the layer count and the device count")
+    p.add_argument("--num_microbatches", type=int, default=None,
+                   help="GPipe microbatches per step (default: stage count)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=20)
@@ -103,10 +110,20 @@ def main(argv=None) -> None:
         total_steps=args.num_steps,
         label_smoothing=args.label_smoothing,
     )
-    mesh = mesh_lib.make_mesh()
+    use_pp = args.pipeline_parallel > 1
+    if use_pp:
+        from protein_structure_tokenizer_tpu.parallel import pp
+
+        mesh = pp.make_pp_mesh(args.pipeline_parallel)
+        num_micro = args.num_microbatches or args.pipeline_parallel
+    else:
+        mesh = mesh_lib.make_mesh()
 
     key = jax.random.PRNGKey(args.seed)
-    params, opt_state = init_train_state(key, cfg, train_cfg, mesh)
+    if use_pp:
+        params, opt_state = init_pp_train_state(key, cfg, train_cfg, mesh)
+    else:
+        params, opt_state = init_train_state(key, cfg, train_cfg, mesh)
 
     ckpt = TrainCheckpointManager(
         args.checkpoint_dir, max_to_keep=args.max_to_keep, save_every=args.save_every
@@ -117,7 +134,10 @@ def main(argv=None) -> None:
         start_step, params, opt_state, key = restored
         start_step += 1
 
-    train_step, _ = make_train_step(cfg, train_cfg, mesh)
+    if use_pp:
+        train_step, _ = make_pp_train_step(cfg, train_cfg, mesh, num_micro)
+    else:
+        train_step, _ = make_train_step(cfg, train_cfg, mesh)
 
     dataset = TokenSequenceDataset.from_dir(
         args.tokens_dir, cfg, seed=args.seed, block_size=args.block_size
@@ -140,7 +160,7 @@ def main(argv=None) -> None:
             logger.info(
                 "step %d | loss %.4f | ppl %.1f | acc %.3f | %.2fs",
                 step, float(metrics["loss"]), float(metrics["perplexity"]),
-                float(metrics["accuracy"]), dt,
+                float(metrics.get("accuracy", np.nan)), dt,
             )
             if not np.isfinite(float(metrics["loss"])):
                 raise FloatingPointError(f"non-finite loss at step {step}")
@@ -149,6 +169,12 @@ def main(argv=None) -> None:
     ckpt.save(args.num_steps - 1, params, opt_state, key, force=True)
     ckpt.wait()
     if args.export_params and jax.process_index() == 0:
+        if use_pp:
+            from protein_structure_tokenizer_tpu.parallel import pp
+
+            params = pp.merge_stage_params(
+                jax.device_get(params["stages"]), jax.device_get(params["rest"]), cfg
+            )
         host_params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
         if args.export_params.endswith(".joblib"):
             import joblib

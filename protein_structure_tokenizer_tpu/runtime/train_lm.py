@@ -109,6 +109,66 @@ def init_train_state(
 
 
 # ---------------------------------------------------------------------------
+# Pipeline-parallel training (parallel/pp.py GPipe schedule)
+# ---------------------------------------------------------------------------
+
+
+def make_pp_train_step(
+    model_cfg: gpt.GptConfig,
+    train_cfg: LmTrainConfig,
+    mesh,
+    num_microbatches: int,
+):
+    """Train step over pipeline-stage-sharded params ({"stages", "rest"}).
+
+    The loss runs the GPipe schedule (parallel/pp.py); its grad is the
+    pipelined backward.  Optimizer state mirrors the param shardings (stage
+    leaves live only on their stage's devices).
+    """
+    from protein_structure_tokenizer_tpu.parallel import pp
+
+    optimizer = make_optimizer(train_cfg)
+    loss_fn = pp.make_pp_loss_fn(model_cfg, mesh, num_microbatches)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(pp_params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(pp_params, tokens)
+        updates, opt_state = optimizer.update(grads, opt_state, pp_params)
+        pp_params = optax.apply_updates(pp_params, updates)
+        return pp_params, opt_state, {"loss": loss, "perplexity": jnp.exp(loss)}
+
+    return train_step, optimizer
+
+
+def init_pp_train_state(
+    key: jax.Array,
+    model_cfg: gpt.GptConfig,
+    train_cfg: LmTrainConfig,
+    mesh,
+) -> Tuple[dict, optax.OptState]:
+    from protein_structure_tokenizer_tpu.parallel import pp
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    params = gpt.init(key, model_cfg)
+    pp_params = pp.place_pp_params(params, model_cfg, mesh)
+    # Eager init: zeros_like moments inherit the param shardings; scalar
+    # leaves (adam count, schedule step) need explicit mesh placement or they
+    # sit committed on device 0 and clash with the sharded params under jit.
+    opt_state = make_optimizer(train_cfg).init(pp_params)
+    mesh_devices = set(np.asarray(mesh.devices).flat)
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def place(x):
+        if isinstance(x, jax.Array) and set(x.sharding.device_set) == mesh_devices:
+            return x
+        return jax.device_put(x, replicated)
+
+    opt_state = jax.tree.map(place, opt_state)
+    return pp_params, opt_state
+
+
+# ---------------------------------------------------------------------------
 # Token-sequence dataset
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,191 @@
+"""GPT pipeline parallelism (parallel/pp.py) on the 8-virtual-device CPU mesh.
+
+The GPipe schedule (shard_map + ppermute over a Mesh(("data", "pipe")))
+must reproduce the single-device forward bit-for-bit-ish (f32 tolerance) and
+its grad must match jax.grad of the plain loss — including the psum'd
+cotangents of the stage-stacked parameters across the "data" axis.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from protein_structure_tokenizer_tpu.lm import gpt
+from protein_structure_tokenizer_tpu.parallel import pp
+
+
+def tiny_cfg(num_layers=4):
+    return gpt.GptConfig(
+        vocab_size=50,
+        embed_dim=64,
+        ffn_embed_dim=128,
+        num_heads=4,
+        num_layers=num_layers,
+        rope_dimensions=8,
+        max_position_embeddings=24,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    params = gpt.init(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 12), 0, cfg.vocab_size)
+    return cfg, params, ids
+
+
+def test_split_merge_roundtrip(setup):
+    cfg, params, _ = setup
+    stacked, rest = pp.split_stage_params(params, cfg)
+    assert all(
+        leaf.shape[0] == cfg.num_layers
+        for leaves in stacked.values()
+        for leaf in leaves.values()
+    )
+    merged = pp.merge_stage_params(stacked, rest, cfg)
+    assert set(merged) == set(params)
+    for scope in params:
+        for name in params[scope]:
+            np.testing.assert_array_equal(
+                np.asarray(merged[scope][name]), np.asarray(params[scope][name])
+            )
+
+
+@pytest.mark.parametrize("n_pipe,n_micro", [(4, 4), (2, 2), (1, 1)])
+def test_pp_forward_matches_single_device(setup, n_pipe, n_micro):
+    cfg, params, ids = setup
+    ref = gpt.forward(params, cfg, ids)["logits"]
+
+    mesh = pp.make_pp_mesh(n_pipe)
+    assert mesh.shape == {"data": 8 // n_pipe, "pipe": n_pipe}
+    pp_params = pp.place_pp_params(params, cfg, mesh)
+    fwd = pp.make_pp_forward(cfg, mesh, num_microbatches=n_micro)
+    out = fwd(pp_params, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pp_loss_and_grad_match(setup):
+    cfg, params, _ = setup
+    tokens = np.array(
+        jax.random.randint(jax.random.PRNGKey(2), (8, 13), 0, cfg.vocab_size)
+    )
+    tokens[-1, -4:] = cfg.pad_token_id  # exercise the pad mask
+
+    def ref_loss(p):
+        logits = gpt.forward(p, cfg, jnp.asarray(tokens[:, :-1]))["logits"]
+        targets = jnp.asarray(tokens[:, 1:])
+        mask = (targets != cfg.pad_token_id).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return -jnp.sum(ll * mask) / jnp.sum(mask)
+
+    ref_val, ref_grads = jax.value_and_grad(ref_loss)(params)
+
+    mesh = pp.make_pp_mesh(2)
+    pp_params = pp.place_pp_params(params, cfg, mesh)
+    loss_fn = pp.make_pp_loss_fn(cfg, mesh, num_microbatches=2)
+    val, grads = jax.jit(jax.value_and_grad(loss_fn))(
+        pp_params, jnp.asarray(tokens)
+    )
+    np.testing.assert_allclose(float(val), float(ref_val), atol=1e-5)
+
+    # Stage grads match the per-layer reference grads after re-merging.
+    merged = pp.merge_stage_params(grads["stages"], grads["rest"], cfg)
+    for scope in ref_grads:
+        for name in ref_grads[scope]:
+            np.testing.assert_allclose(
+                np.asarray(merged[scope][name]),
+                np.asarray(ref_grads[scope][name]),
+                atol=3e-5,
+                err_msg=f"{scope}:{name}",
+            )
+
+
+def test_pp_train_step_reduces_loss():
+    """End-to-end GPipe training: pp train step drives the loss down and the
+    re-merged params run the plain single-device forward."""
+    from protein_structure_tokenizer_tpu.runtime.train_lm import (
+        LmTrainConfig,
+        init_pp_train_state,
+        make_pp_train_step,
+        pack_sequence,
+    )
+
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_cfg(num_layers=2),
+        vocab_size=19, bos_token_id=16, eos_token_id=17, pad_token_id=18,
+    )
+    mesh = pp.make_pp_mesh(2)
+    tcfg = LmTrainConfig(learning_rate=1e-3, warmup_steps=2, total_steps=40)
+    pp_params, opt_state = init_pp_train_state(jax.random.PRNGKey(1), cfg, tcfg, mesh)
+    train_step, _ = make_pp_train_step(cfg, tcfg, mesh, num_microbatches=2)
+
+    rng = np.random.RandomState(0)
+    seqs = jnp.asarray(
+        np.stack([pack_sequence(rng.randint(0, 4, size=8), cfg, 16) for _ in range(8)])
+    )
+    losses = []
+    for _ in range(30):
+        pp_params, opt_state, metrics = train_step(pp_params, opt_state, seqs)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+    merged = pp.merge_stage_params(
+        jax.device_get(pp_params["stages"]), jax.device_get(pp_params["rest"]), cfg
+    )
+    logits = gpt.forward(merged, cfg, seqs[:2, :-1])["logits"]
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_train_lm_cli_pipeline_parallel(tmp_path):
+    """cli.train_lm --pipeline_parallel end-to-end: trains, checkpoints,
+    resumes from the pp-structured checkpoint, exports mergeable params."""
+    from protein_structure_tokenizer_tpu.cli import train_lm as cli
+
+    tokens_dir = tmp_path / "tokens"
+    tokens_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        np.save(tokens_dir / f"s{i}_tokens.npy", rng.randint(0, 16, size=6))
+
+    export = tmp_path / "params.joblib"
+    argv = [
+        "--tokens_dir", str(tokens_dir),
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--codebook_size", "432",
+        "--num_steps", "3",
+        "--batch_size_per_device", "1",
+        "--num_layers", "2",
+        "--embed_dim", "32",
+        "--num_heads", "4",
+        "--block_size", "16",
+        "--pipeline_parallel", "2",
+        "--save_every", "2",
+        "--export_params", str(export),
+    ]
+    cli.main(argv)
+    assert export.exists()
+
+    import joblib
+
+    params = joblib.load(export)
+    cfg = jax.tree_util.tree_leaves(params)  # flat leaf sanity
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in cfg)
+    # Exported in the merged flat format: plain forward consumes it.
+    import dataclasses
+
+    gcfg = dataclasses.replace(
+        gpt.released_gpt_config(432),
+        num_layers=2, embed_dim=32, ffn_embed_dim=128, num_heads=4,
+        max_position_embeddings=16,
+    )
+    ids = jnp.zeros((2, 8), jnp.int32)
+    logits = gpt.forward(params, gcfg, ids)["logits"]
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # Resume path: second invocation restores from the pp checkpoint.
+    cli.main(argv[:argv.index("--num_steps") + 1] + ["5"] + argv[argv.index("--num_steps") + 2:])
