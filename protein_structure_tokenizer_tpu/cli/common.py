@@ -56,6 +56,14 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
         "FSQ rounding, IPA point geometry, and rigid composition.  Token ids "
         "may differ from the f32 conformance path near rounding boundaries.",
     )
+    parser.add_argument(
+        "--context_parallel",
+        type=int,
+        default=1,
+        help="Shard the decoder's quadratic pair track over this many chips "
+        "(('data','ctx') mesh, parallel/cp.py): per-chip pair memory and "
+        "pair FLOPs scale 1/ctx.  Must divide the device count.",
+    )
 
 
 def force_backend(backend: str | None) -> None:
@@ -82,7 +90,13 @@ def build_runner(args) -> InferenceRunner:
         params = template
         logger.warning("no --weights given: using RANDOM weights (smoke mode)")
     devices = jax.devices(args.backend) if args.backend else jax.devices()
-    mesh = mesh_lib.make_mesh(devices)
+    n_ctx = getattr(args, "context_parallel", 1)
+    if n_ctx > 1:
+        from protein_structure_tokenizer_tpu.parallel import cp
+
+        mesh = cp.make_ctx_mesh(n_ctx, devices)
+    else:
+        mesh = mesh_lib.make_mesh(devices)
     compute_dtype = None
     if getattr(args, "bf16", False):
         import jax.numpy as jnp

@@ -28,6 +28,7 @@ from protein_structure_tokenizer_tpu.models.layers import (
     norm_init,
 )
 from protein_structure_tokenizer_tpu.models.posenc import sinusoidal_features
+from protein_structure_tokenizer_tpu.parallel import cp
 from protein_structure_tokenizer_tpu.utils.params import Params, subtree, with_prefix
 
 
@@ -48,18 +49,20 @@ class SeqDecoderConfig:
 
 def pairwise_representation(
     p: Params, cfg: PairRepConfig, x: jax.Array, mask: jax.Array,
-    *, one_pass_ln: bool = False,
+    *, one_pass_ln: bool = False, mesh=None,
 ) -> jax.Array:
     """Outer-product pair init (AF2 alg.10 flavor).
 
     x: (B, N, C); mask: (B, N, 1) row validity. Returns (B, N, N, output_dim).
     ``one_pass_ln`` uses single-read LN statistics on the (B, N, N, C) output
     (fast path; the exact path keeps the reference's two-pass form).
+    ``mesh`` with a "ctx" axis row-shards the pair tensor (parallel/cp.py).
     """
     x = layer_norm(p["layer_norm_input"], x)
     left = mask * af2_linear(p["left_projection"], x)
     right = mask * af2_linear(p["right_projection"], x)
     outer = jnp.einsum("...nd,...kd->...nkd", left, right)
+    outer = cp.constrain(outer, mesh, cp.PAIR_SPEC)
 
     pair = af2_linear(p["output_projection_layer1"], outer)
     pair = jax.nn.relu(pair)
@@ -150,6 +153,7 @@ def sequence_decoder(
     *,
     exact: bool = False,
     use_pallas: bool | None = None,
+    mesh=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (s_i, z_ij): the single track unchanged and the pair track.
 
@@ -179,6 +183,7 @@ def sequence_decoder(
         single_emb,
         nodes_mask,
         one_pass_ln=not exact,
+        mesh=mesh,
     )
 
     # Dense all-pairs relative PE over index differences sender - receiver.
@@ -200,10 +205,12 @@ def sequence_decoder(
         if b is not None:
             relpos_term = relpos_term + b
         pair = pair @ w[d:].astype(pair.dtype) + relpos_term[None]
+    pair = cp.constrain(pair, mesh, cp.PAIR_SPEC)
     pair = transition(
         subtree(params, "pair_transition_init"), cfg.pair_transition, pair,
         one_pass_ln=not exact,
     )
+    pair = cp.constrain(pair, mesh, cp.PAIR_SPEC)
     return single_emb, pair
 
 

@@ -29,6 +29,7 @@ from protein_structure_tokenizer_tpu.models.layers import (
     layer_norm_1pass,
     norm_init,
 )
+from protein_structure_tokenizer_tpu.parallel import cp
 from protein_structure_tokenizer_tpu.utils.params import Params, subtree, with_prefix
 
 
@@ -65,6 +66,7 @@ def invariant_point_attention(
     *,
     exact: bool = False,
     attention_2d: Optional[jax.Array] = None,  # precomputed (B, N, N, h)
+    mesh=None,
 ) -> jax.Array:
     """IPA.  ``exact=True`` reproduces the reference's broadcast-subtract
     formulas bit-for-bit (folding.py:225-241); the default fast mode uses the
@@ -160,6 +162,9 @@ def invariant_point_attention(
     mask_2d = (mask * jnp.swapaxes(mask, -1, -2)).astype(f32)  # (B, N, N)
     attn_logits = attn_logits - 1e5 * (1.0 - mask_2d[:, None])
 
+    # Context parallelism (parallel/cp.py): query rows sharded over "ctx",
+    # keys axis whole — each row's softmax is complete on its chip.
+    attn_logits = cp.constrain(attn_logits, mesh, cp.LOGITS_SPEC)
     attn = jax.nn.softmax(attn_logits)  # (B, h, Nq, Nk) f32
 
     vp = jnp.transpose(v_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3) f32
@@ -269,6 +274,7 @@ def fold_iteration(
     *,
     exact: bool = False,
     attention_2d: Optional[jax.Array] = None,
+    mesh=None,
 ) -> tuple[dict, dict]:
     affine = QuatRigid.from_tensor(activations["affine"])
     act = activations["act"]
@@ -282,6 +288,7 @@ def fold_iteration(
         affine,
         exact=exact,
         attention_2d=attention_2d,
+        mesh=mesh,
     )
     act = act + attn
     act = layer_norm(p["attention_layer_norm"], act)
@@ -320,6 +327,7 @@ def structure_module(
     sequence_mask: jax.Array,  # (B, N, 1)
     *,
     exact: bool = False,
+    mesh=None,
 ) -> dict:
     act = layer_norm(params["single_layer_norm"], representations["single"])
     initial_act = act
@@ -332,6 +340,7 @@ def structure_module(
     # (single HBM read; see layers.layer_norm_1pass).
     pair_ln = layer_norm if exact else layer_norm_1pass
     act_2d = pair_ln(params["pair_layer_norm"], representations["pair"])
+    act_2d = cp.constrain(act_2d, mesh, cp.PAIR_SPEC)
 
     fold_params = subtree(params, "fold_iteration")
 
@@ -341,11 +350,12 @@ def structure_module(
     attention_2d = af2_linear(
         subtree(fold_params, "invariant_point_attention")["attention_2d"], act_2d
     )
+    attention_2d = cp.constrain(attention_2d, mesh, cp.PAIR_SPEC)
 
     def step(carry, _):
         new_carry, out = fold_iteration(
             fold_params, cfg, carry, sequence_mask, initial_act, act_2d,
-            exact=exact, attention_2d=attention_2d,
+            exact=exact, attention_2d=attention_2d, mesh=mesh,
         )
         return new_carry, out
 

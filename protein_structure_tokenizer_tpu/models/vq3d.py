@@ -329,8 +329,12 @@ def decode(
     tokens_mask: jax.Array,  # (B, T, 1)
     *,
     exact: bool = False,
+    mesh=None,
 ):
-    """Codes -> (quantized_proj, single track s_i, pair track z_ij)."""
+    """Codes -> (quantized_proj, single track s_i, pair track z_ij).
+
+    ``mesh`` with a "ctx" axis (parallel/cp.py) row-shards the quadratic pair
+    track over the mesh — context parallelism for long chains/pods."""
     if cfg.up_proj_dim is not None:
         quantized_proj = linear(params[SCOPE_UP_PROJ], quantized)
     else:
@@ -353,7 +357,7 @@ def decode(
 
     s_i, z_ij = sequence_decoder(
         subtree(params, SCOPE_SEQ_DECODER), cfg.decoder, seq_decoded, nodes_mask,
-        exact=exact,
+        exact=exact, mesh=mesh,
     )
     return quantized_proj, s_i, z_ij
 
@@ -383,9 +387,10 @@ def decode_and_make_structure(
     tokens_mask: jax.Array,
     *,
     exact_ipa: bool = False,
+    mesh=None,
 ) -> dict:
     _, s_i, z_ij = decode(
-        params, cfg, quantized, nodes_mask, tokens_mask, exact=exact_ipa
+        params, cfg, quantized, nodes_mask, tokens_mask, exact=exact_ipa, mesh=mesh
     )
     batch, num_res = s_i.shape[:2]
     features = _dummy_ala_features(batch, num_res)
@@ -396,6 +401,7 @@ def decode_and_make_structure(
         features,
         nodes_mask,
         exact=exact_ipa,
+        mesh=mesh,
     )
 
 
@@ -411,6 +417,7 @@ def forward(
     canonical_receivers: bool = True,
     exact_aggregation: bool = False,
     exact_ipa: bool = False,
+    mesh=None,
 ):
     """Full autoencoder pass -> (decoded_structure, quantizer_output)."""
     graph = batch.graph
@@ -434,7 +441,8 @@ def forward(
     out["continuous_embedding_pre_proj"] = pre_proj
 
     quantized_proj, s_i, z_ij = decode(
-        params, cfg, quantized, graph.nodes_mask, graph.tokens_mask, exact=exact_ipa
+        params, cfg, quantized, graph.nodes_mask, graph.tokens_mask,
+        exact=exact_ipa, mesh=mesh,
     )
     out["quantize_post_proj"] = quantized_proj
 
@@ -445,6 +453,7 @@ def forward(
         batch.features,
         graph.nodes_mask,
         exact=exact_ipa,
+        mesh=mesh,
     )
     return decoded, out
 

@@ -107,6 +107,12 @@ def local_rows(arr) -> np.ndarray:
 
 
 def global_batch_size(mesh: Mesh, per_device: int) -> int:
+    """Rows per step: per_device x the batch-sharded axis size.
+
+    On a 1-D mesh that is every device; on 2-D meshes (context/pipeline
+    parallel) only the "data" axis carries batch rows."""
+    if DATA_AXIS in mesh.axis_names:
+        return per_device * mesh.shape[DATA_AXIS]
     return per_device * mesh.devices.size
 
 

@@ -105,16 +105,28 @@ class InferenceRunner:
         exact_aggregation: bool = False,
         num_featurize_workers: int = 0,
         compute_dtype=None,
+        context_parallel: int = 1,
     ):
         """``compute_dtype=jnp.bfloat16`` runs the forward matmuls in bf16
         (2x MXU, half HBM traffic) with f32 islands for FSQ rounding, IPA
         point geometry, softmax, and rigid-body composition; params and
         outputs stay f32.  Default (None) is full f32 — the conformance path.
-        Incompatible with ``exact_aggregation``."""
+        Incompatible with ``exact_aggregation``.
+
+        ``context_parallel > 1`` decodes on a ("data", "ctx") mesh with the
+        quadratic pair track row-sharded over "ctx" (parallel/cp.py): per-chip
+        pair memory and pair FLOPs scale 1/ctx."""
         if compute_dtype is not None and exact_aggregation:
             raise ValueError("exact_aggregation requires full f32 compute")
         self.config = config
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        if mesh is not None:
+            self.mesh = mesh
+        elif context_parallel > 1:
+            from protein_structure_tokenizer_tpu.parallel import cp
+
+            self.mesh = cp.make_ctx_mesh(context_parallel)
+        else:
+            self.mesh = mesh_lib.make_mesh()
         self.params = mesh_lib.replicate(self.mesh, params)
         self.exact_aggregation = exact_aggregation
         self.num_featurize_workers = num_featurize_workers
@@ -135,10 +147,12 @@ class InferenceRunner:
             )
             return {"tokens": out["tokens"]}
 
+        decode_mesh = self.mesh  # cp constraints no-op without a "ctx" axis
+
         def _decode_impl(params, quantized, nodes_mask, tokens_mask):
             out = vq3d.decode_and_make_structure(
                 params, cfg, quantized, nodes_mask, tokens_mask,
-                exact_ipa=exact_aggregation,
+                exact_ipa=exact_aggregation, mesh=decode_mesh,
             )
             return {
                 "final_atom_positions": out["final_atom_positions"],
@@ -176,6 +190,7 @@ class InferenceRunner:
                 compute_usage=False,
                 exact_aggregation=exact_aggregation,
                 exact_ipa=exact_aggregation,
+                mesh=decode_mesh,
             )
             return {
                 "tokens": quant["tokens"],
