@@ -57,6 +57,89 @@ class Protein:
         )
 
 
+def from_pdb_string(pdb_str: str, chain_id: str | None = None) -> Protein:
+    """PDB text -> Protein (reference protein.py:114-189 semantics).
+
+    First/only model; optional single-chain filter; insertion codes rejected;
+    non-standard residues become X; atoms outside the 37-type vocabulary are
+    ignored; residues with no recognized atoms are skipped; original residue
+    numbering and per-atom B-factors are preserved; chain letters map to ints
+    in sorted-unique order.  Fixed-column reader (no BioPython), same idiom as
+    data/sample.parse_pdb_string.
+    """
+    import io
+
+    residues: dict[tuple, dict] = {}
+    order: list[tuple] = []
+    num_models = 0
+    for line in io.StringIO(pdb_str):
+        record = line[:6]
+        if record == "MODEL ":
+            num_models += 1
+            if num_models > 1:
+                raise ValueError(
+                    f"Only single model PDBs are supported. Found {num_models} models."
+                )
+        elif record == "ATOM  ":
+            atom_name = line[12:16].strip()
+            resname = line[17:20].strip()
+            chain = line[21]
+            if chain_id is not None and chain != chain_id:
+                continue
+            try:
+                resseq = int(line[22:26])
+            except ValueError:
+                continue
+            if line[26] != " ":
+                raise ValueError(
+                    f"PDB contains an insertion code at chain {chain} and residue "
+                    f"index {resseq}. These are not supported."
+                )
+            key = (chain, resseq)
+            if key not in residues:
+                residues[key] = {"resname": resname, "atoms": {}}
+                order.append(key)
+            if atom_name not in constants.ATOM_ORDER:
+                continue
+            coord = np.array(
+                [float(line[30:38]), float(line[38:46]), float(line[46:54])]
+            )
+            try:
+                bfac = float(line[60:66])
+            except ValueError:
+                bfac = 0.0
+            residues[key]["atoms"].setdefault(atom_name, (coord, bfac))
+
+    aatype, positions, masks, res_index, chains, bfactors = [], [], [], [], [], []
+    for chain, resseq in order:
+        res = residues[(chain, resseq)]
+        if not res["atoms"]:
+            continue
+        shortname = constants.RESTYPE_3TO1.get(res["resname"], "X")
+        pos = np.zeros((37, 3))
+        mask = np.zeros((37,))
+        bfac = np.zeros((37,))
+        for name, (coord, b) in res["atoms"].items():
+            idx = constants.ATOM_ORDER[name]
+            pos[idx], mask[idx], bfac[idx] = coord, 1.0, b
+        aatype.append(constants.RESTYPE_ORDER.get(shortname, constants.RESTYPE_NUM))
+        positions.append(pos)
+        masks.append(mask)
+        bfactors.append(bfac)
+        res_index.append(resseq)
+        chains.append(chain)
+
+    chain_map = {c: i for i, c in enumerate(sorted(set(chains)))}
+    return Protein(
+        atom_positions=np.asarray(positions),
+        aatype=np.asarray(aatype),
+        atom_mask=np.asarray(masks),
+        residue_index=np.asarray(res_index),
+        chain_index=np.asarray([chain_map[c] for c in chains]),
+        b_factors=np.asarray(bfactors),
+    )
+
+
 def _chain_end(atom_index, end_resname, chain_name, residue_index) -> str:
     return (
         f"{'TER':<6}{atom_index:>5}      {end_resname:>3} "

@@ -48,3 +48,37 @@ def _safe_key_unflatten(used, children):
 
 
 jax.tree_util.register_pytree_node(SafeKey, _safe_key_flatten, _safe_key_unflatten)
+
+
+def padding_consistent_rng(f):
+    """Make an elementwise random sampler invariant to padding.
+
+    Counterpart of the reference's padding-consistent RNG discipline
+    (/root/reference/structure_tokenizer/model/utils.py:100-148): ``f(key,
+    shape)`` normally yields different leading values when ``shape`` grows,
+    so padded and unpadded batches see different randomness on the REAL rows.
+    The returned function derives one key per output element by folding each
+    index along each axis into the key (index i's key never depends on the
+    axis length), then draws a scalar per element — identical real-position
+    values under any padding.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    def grid_keys(key, shape):
+        if not shape:
+            return key
+        keys = jax.vmap(functools.partial(jax.random.fold_in, key))(
+            jnp.arange(shape[0])
+        )
+        return jax.vmap(lambda k: grid_keys(k, shape[1:]))(keys)
+
+    def wrapped(key, shape, **kwargs):
+        per_element = grid_keys(key, tuple(shape))
+        return jnp.vectorize(
+            lambda k: f(k, shape=(), **kwargs), signature="(2)->()"
+        )(per_element)
+
+    return wrapped

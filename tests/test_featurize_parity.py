@@ -99,3 +99,47 @@ def test_parser_matches_biopython_semantics():
         dtype=np.float32,
     )
     np.testing.assert_allclose(ca_ours[0], first_ca, atol=0)
+
+
+def test_protein_from_pdb_string():
+    """data/protein_io.from_pdb_string: hand-checked fields from the raw PDB
+    text, consistency with the sample parser, and writer round-trip.
+    (The reference's BioPython-based from_pdb_string, protein.py:114-189,
+    cannot execute here — BioPython is stubbed — so parity is asserted
+    against the raw file and our independently-validated sample parser.)"""
+    from protein_structure_tokenizer_tpu.data import constants, protein_io
+    from protein_structure_tokenizer_tpu.data.sample import parse_pdb_string
+
+    with open("/root/reference/casp14_pdbs/T1024.pdb") as f:
+        pdb_str = f.read()
+
+    prot = protein_io.from_pdb_string(pdb_str)
+    sample = parse_pdb_string(pdb_str)
+
+    # Same residues, types, atom masks and coordinates as the sample parser.
+    np.testing.assert_array_equal(
+        prot.aatype, np.argmax(sample.aatype, axis=-1)
+    )
+    np.testing.assert_array_equal(
+        prot.atom_mask.astype(bool), sample.atom37_gt_exists
+    )
+    np.testing.assert_allclose(
+        prot.atom_positions, sample.atom37_positions, atol=1e-6
+    )
+
+    # Hand-checked against the raw text: first residue is LYS 2, whose N sits
+    # at (12.409, 4.092, 3.031) with B-factor 126.08; last residue is 406.
+    assert constants.RESTYPES[prot.aatype[0]] == "K"
+    assert prot.residue_index[0] == 2 and prot.residue_index[-1] == 406
+    n_idx = constants.ATOM_ORDER["N"]
+    np.testing.assert_allclose(
+        prot.atom_positions[0, n_idx], [12.409, 4.092, 3.031]
+    )
+    np.testing.assert_allclose(prot.b_factors[0, n_idx], 126.08)
+    assert (prot.chain_index == 0).all()
+
+    # Round-trips through our writer (coordinates quantized to 3 decimals).
+    again = protein_io.from_pdb_string(protein_io.to_pdb(prot))
+    np.testing.assert_allclose(again.atom_positions, prot.atom_positions, atol=2e-3)
+    np.testing.assert_array_equal(again.aatype, prot.aatype)
+    np.testing.assert_array_equal(again.residue_index, prot.residue_index)

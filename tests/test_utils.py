@@ -55,3 +55,19 @@ def test_safe_key_is_pytree():
         return jax.random.uniform(k.get())
 
     assert np.isfinite(float(use(key)))
+
+
+def test_padding_consistent_rng():
+    """Real-position randomness is invariant to how much padding follows."""
+    import jax
+    import numpy as np
+
+    from protein_structure_tokenizer_tpu.utils.prng import padding_consistent_rng
+
+    normal = padding_consistent_rng(jax.random.normal)
+    key = jax.random.PRNGKey(0)
+    small = np.asarray(normal(key, (4, 3)))
+    padded = np.asarray(normal(key, (9, 7)))
+    np.testing.assert_array_equal(padded[:4, :3], small)
+    # And it is actually random across positions.
+    assert len(np.unique(small.round(6))) == small.size
