@@ -34,6 +34,7 @@ from protein_structure_tokenizer_tpu.runtime.train_lm import (
     LmTrainConfig,
     TokenSequenceDataset,
     init_pp_train_state,
+    init_tp_train_state,
     init_train_state,
     make_pp_train_step,
     make_train_step,
@@ -67,6 +68,12 @@ def parse_args(argv=None):
                    "must divide the layer count and the device count")
     p.add_argument("--num_microbatches", type=int, default=None,
                    help="GPipe microbatches per step (default: stage count)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="Megatron tensor parallelism over a ('data','model') "
+                   "mesh (qkv/fc1 column-, out/fc2 row-sharded)")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="With --tensor_parallel: T-shard the residual stream "
+                   "between blocks (Megatron-SP)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=20)
@@ -111,17 +118,26 @@ def main(argv=None) -> None:
         label_smoothing=args.label_smoothing,
     )
     use_pp = args.pipeline_parallel > 1
+    use_tp = args.tensor_parallel > 1
+    if use_pp and use_tp:
+        raise SystemExit("--pipeline_parallel and --tensor_parallel are exclusive")
     if use_pp:
         from protein_structure_tokenizer_tpu.parallel import pp
 
         mesh = pp.make_pp_mesh(args.pipeline_parallel)
         num_micro = args.num_microbatches or args.pipeline_parallel
+    elif use_tp:
+        from protein_structure_tokenizer_tpu.parallel import tp
+
+        mesh = tp.make_2d_mesh(args.tensor_parallel)
     else:
         mesh = mesh_lib.make_mesh()
 
     key = jax.random.PRNGKey(args.seed)
     if use_pp:
         params, opt_state = init_pp_train_state(key, cfg, train_cfg, mesh)
+    elif use_tp:
+        params, opt_state = init_tp_train_state(key, cfg, train_cfg, mesh)
     else:
         params, opt_state = init_train_state(key, cfg, train_cfg, mesh)
 
@@ -137,12 +153,18 @@ def main(argv=None) -> None:
     if use_pp:
         train_step, _ = make_pp_train_step(cfg, train_cfg, mesh, num_micro)
     else:
-        train_step, _ = make_train_step(cfg, train_cfg, mesh)
+        train_step, _ = make_train_step(
+            cfg, train_cfg, mesh, sequence_parallel=args.sequence_parallel
+        )
 
     dataset = TokenSequenceDataset.from_dir(
         args.tokens_dir, cfg, seed=args.seed, block_size=args.block_size
     )
     global_batch = mesh_lib.global_batch_size(mesh, args.batch_size_per_device)
+    if use_pp:
+        # batch_size_per_device counts rows per data shard per microbatch:
+        # the GPipe step consumes num_micro microbatches of (data-sharded) rows.
+        global_batch *= num_micro
     local = mesh_lib.process_local_slice(mesh, global_batch)
     stream = dataset.batches(global_batch, start_step=start_step, local=local)
     logger.info(
@@ -175,6 +197,10 @@ def main(argv=None) -> None:
             params = pp.merge_stage_params(
                 jax.device_get(params["stages"]), jax.device_get(params["rest"]), cfg
             )
+        elif use_tp:
+            from protein_structure_tokenizer_tpu.parallel import tp
+
+            params = tp.unshard_gpt_params(jax.device_get(params))
         host_params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
         if args.export_params.endswith(".joblib"):
             import joblib

@@ -247,14 +247,22 @@ def forward(
     attention_mask: Optional[jax.Array] = None,
     *,
     mesh: Optional[Mesh] = None,
+    sequence_parallel: bool = False,
 ) -> dict:
     """Full non-cached forward — numerically equivalent to the reference.
 
     ``mesh`` with a "model" axis enables tensor parallelism; params must then
     be placed with :func:`parallel.tp.shard_gpt_params`.
+    ``sequence_parallel`` additionally shards the residual stream along T
+    over the "model" axis between blocks (Megatron-SP): LN/residual segments
+    run on sequence shards and the block psums become reduce-scatter +
+    all-gather pairs.
     """
     p = subtree(params, "gpt_decoder")
     x = jnp.take(p["~/token_embed"]["embeddings"], token_ids, axis=0)
+    sp = sequence_parallel and tp.has_model_axis(mesh)
+    if sp:
+        x = tp.constrain(x, mesh, tp.SP_SPEC)
     if attention_mask is None:
         attention_mask = build_causal_mask(1, x.shape[1])
     for i in range(cfg.num_layers):
@@ -262,6 +270,8 @@ def forward(
             subtree(p, f"gpt_decoder_layer_{i}/~"), cfg, x, attention_mask,
             mesh=mesh,
         )
+        if sp:
+            x = tp.constrain(x, mesh, tp.SP_SPEC)
     if cfg.norm_type == "layer_norm":
         x = layer_norm(p["~/final_layer_norm"], x)
     else:

@@ -30,6 +30,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+# Megatron sequence parallelism: between blocks the residual stream
+# (B, T, E) is sharded along T over the SAME "model" axis the matmuls split
+# over — the LN/residual segments run on T-shards, and GSPMD lowers each
+# block's two psums into reduce-scatter + all-gather pairs (same bytes over
+# ICI, 1/model_size of the activation memory and LN/residual flops per chip).
+SP_SPEC = P(DATA_AXIS, MODEL_AXIS, None)
+
 
 def make_2d_mesh(
     n_model: int, devices: Optional[Sequence[jax.Device]] = None
@@ -74,6 +81,27 @@ def gpt_param_spec(path: str) -> P:
     if "fc2_linear" in path:
         return P(MODEL_AXIS, None)
     return P()
+
+
+def unshard_gpt_params(params: dict) -> dict:
+    """Host-side inverse of :func:`shard_gpt_params` for checkpoint export:
+    gathers every leaf and re-fuses the split GLU halves into the canonical
+    (E, 2F) ``w`` leaf the plain forward / joblib format expects."""
+    out = {}
+    for scope, leaves in params.items():
+        if "w_gate" in leaves:
+            rest = {k: np.asarray(v) for k, v in leaves.items()
+                    if k not in ("w_gate", "w_value")}
+            out[scope] = {
+                "w": np.concatenate(
+                    [np.asarray(leaves["w_gate"]), np.asarray(leaves["w_value"])],
+                    axis=1,
+                ),
+                **rest,
+            }
+        else:
+            out[scope] = {k: np.asarray(v) for k, v in leaves.items()}
+    return out
 
 
 def shard_gpt_params(params: dict, mesh: Mesh) -> dict:

@@ -57,10 +57,15 @@ def lm_loss(
     model_cfg: gpt.GptConfig,
     train_cfg: LmTrainConfig,
     tokens: jax.Array,  # (B, T) int32, bos...eos + pad tail
+    *,
+    mesh=None,
+    sequence_parallel: bool = False,
 ) -> Tuple[jax.Array, dict]:
     """Next-token cross-entropy with pad positions masked out."""
     inputs, targets = tokens[:, :-1], tokens[:, 1:]
-    logits = gpt.forward(params, model_cfg, inputs)["logits"]
+    logits = gpt.forward(
+        params, model_cfg, inputs, mesh=mesh, sequence_parallel=sequence_parallel
+    )["logits"]
     mask = (targets != model_cfg.pad_token_id).astype(jnp.float32)
     if train_cfg.label_smoothing > 0:
         onehot = jax.nn.one_hot(targets, model_cfg.vocab_size)
@@ -79,20 +84,41 @@ def lm_loss(
     }
 
 
-def make_train_step(model_cfg: gpt.GptConfig, train_cfg: LmTrainConfig, mesh):
+def make_train_step(
+    model_cfg: gpt.GptConfig,
+    train_cfg: LmTrainConfig,
+    mesh,
+    *,
+    sequence_parallel: bool = False,
+):
+    """Data-parallel train step; with a "model" mesh axis (parallel/tp.py)
+    the blocks run tensor-parallel (params pre-placed by shard_gpt_params,
+    shardings inherited from the arguments) and ``sequence_parallel``
+    additionally T-shards the residual stream (Megatron-SP)."""
+    from protein_structure_tokenizer_tpu.parallel import tp
+
     optimizer = make_optimizer(train_cfg)
-    replicated = mesh_lib.replicated_sharding(mesh)
     batch_shard = mesh_lib.batch_sharding(mesh)
+    tensor_parallel = tp.has_model_axis(mesh)
+    # Tensor-parallel params carry their own (column/row) shardings; only
+    # pure data-parallel pins everything replicated explicitly.
+    state_shardings = None if tensor_parallel else mesh_lib.replicated_sharding(mesh)
+
+    def loss_fn(params, tokens):
+        return lm_loss(
+            params, model_cfg, train_cfg, tokens,
+            mesh=mesh if tensor_parallel else None,
+            sequence_parallel=sequence_parallel,
+        )
 
     @functools.partial(
         jax.jit,
-        in_shardings=(replicated, replicated, batch_shard),
-        out_shardings=(replicated, replicated, replicated),
+        in_shardings=(state_shardings, state_shardings, batch_shard),
         donate_argnums=(0, 1),
     )
     def train_step(params, opt_state, tokens):
-        grad_fn = jax.value_and_grad(lm_loss, has_aux=True)
-        (_, metrics), grads = grad_fn(params, model_cfg, train_cfg, tokens)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(params, tokens)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
@@ -140,22 +166,12 @@ def make_pp_train_step(
     return train_step, optimizer
 
 
-def init_pp_train_state(
-    key: jax.Array,
-    model_cfg: gpt.GptConfig,
-    train_cfg: LmTrainConfig,
-    mesh,
-) -> Tuple[dict, optax.OptState]:
-    from protein_structure_tokenizer_tpu.parallel import pp
-
+def _place_stray_opt_leaves(opt_state: optax.OptState, mesh) -> optax.OptState:
+    """Eager optimizer init: zeros_like moments inherit the param shardings;
+    scalar leaves (adam count, schedule step) need explicit mesh placement or
+    they sit committed on device 0 and clash with sharded params under jit."""
     from jax.sharding import NamedSharding, PartitionSpec
 
-    params = gpt.init(key, model_cfg)
-    pp_params = pp.place_pp_params(params, model_cfg, mesh)
-    # Eager init: zeros_like moments inherit the param shardings; scalar
-    # leaves (adam count, schedule step) need explicit mesh placement or they
-    # sit committed on device 0 and clash with the sharded params under jit.
-    opt_state = make_optimizer(train_cfg).init(pp_params)
     mesh_devices = set(np.asarray(mesh.devices).flat)
     replicated = NamedSharding(mesh, PartitionSpec())
 
@@ -164,8 +180,35 @@ def init_pp_train_state(
             return x
         return jax.device_put(x, replicated)
 
-    opt_state = jax.tree.map(place, opt_state)
+    return jax.tree.map(place, opt_state)
+
+
+def init_pp_train_state(
+    key: jax.Array,
+    model_cfg: gpt.GptConfig,
+    train_cfg: LmTrainConfig,
+    mesh,
+) -> Tuple[dict, optax.OptState]:
+    from protein_structure_tokenizer_tpu.parallel import pp
+
+    params = gpt.init(key, model_cfg)
+    pp_params = pp.place_pp_params(params, model_cfg, mesh)
+    opt_state = _place_stray_opt_leaves(make_optimizer(train_cfg).init(pp_params), mesh)
     return pp_params, opt_state
+
+
+def init_tp_train_state(
+    key: jax.Array,
+    model_cfg: gpt.GptConfig,
+    train_cfg: LmTrainConfig,
+    mesh,
+) -> Tuple[Params, optax.OptState]:
+    """Megatron tensor-parallel training state on a ("data", "model") mesh."""
+    from protein_structure_tokenizer_tpu.parallel import tp
+
+    params = tp.shard_gpt_params(gpt.init(key, model_cfg), mesh)
+    opt_state = _place_stray_opt_leaves(make_optimizer(train_cfg).init(params), mesh)
+    return params, opt_state
 
 
 # ---------------------------------------------------------------------------
