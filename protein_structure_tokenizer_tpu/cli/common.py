@@ -57,6 +57,14 @@ def add_model_args(parser: argparse.ArgumentParser) -> None:
         "may differ from the f32 conformance path near rounding boundaries.",
     )
     parser.add_argument(
+        "--seq_max",
+        type=int,
+        default=512,
+        help="Residue padding/ceiling (the reference hard-caps at 512). "
+        "Non-default values need retrained weights — the positional-encoding "
+        "base scales with it.",
+    )
+    parser.add_argument(
         "--context_parallel",
         type=int,
         default=1,
@@ -81,7 +89,10 @@ def force_backend(backend: str | None) -> None:
 def build_runner(args) -> InferenceRunner:
     force_backend(args.backend)
     mesh_lib.initialize_distributed()
-    cfg = preset(args.codebook_size, args.model_downsampling)
+    cfg = preset(
+        args.codebook_size, args.model_downsampling,
+        seq_max=getattr(args, "seq_max", 512),
+    )
     template = vq3d.init(jax.random.PRNGKey(0), cfg)
     if args.weights:
         params = checkpoints.load_released_params(args.weights, template)

@@ -63,6 +63,8 @@ def parse_args(argv=None):
     p.add_argument("--grad_clip_norm", type=float, default=1.0)
     p.add_argument("--pct_unclamped", type=float, default=0.1,
                    help="Fraction of layers trained with unclamped FAPE")
+    p.add_argument("--seq_max", type=int, default=512,
+                   help="Residue padding/ceiling (train longer-chain models than the reference's 512 cap)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=20)
@@ -84,7 +86,7 @@ def main(argv=None) -> None:
     force_backend(args.backend)
     mesh_lib.initialize_distributed()
 
-    cfg = preset(args.codebook_size, args.model_downsampling)
+    cfg = preset(args.codebook_size, args.model_downsampling, seq_max=args.seq_max)
     train_cfg = TrainConfig(
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,

@@ -79,13 +79,22 @@ class Vq3dConfig:
         return self.fsq.codes_dimension if self.fsq else self.down_sampler.out_emb_size
 
 
-def preset(codebook_size=4096, downsampling: int = 1) -> Vq3dConfig:
+def preset(
+    codebook_size=4096, downsampling: int = 1, *, seq_max: int = 512
+) -> Vq3dConfig:
     """Config for a released variant.
 
     ``codebook_size`` of ``None`` (or ``"continuous"``) selects the continuous
     ablation — NoQuantizer pass-through with the 64k geometry (down_proj to 6
     dims, ``use_codebook: false``), per the reference's
     ``ablation_continuous_df_*.yaml``.
+
+    ``seq_max`` lifts the reference's hard 512-residue ceiling
+    (inference_runner.py:52-56): padding, scaler lengths and the positional
+    -encoding base all scale together, so the architecture stays coherent at
+    any length (pair memory is quadratic — use ``context_parallel`` past
+    ~1k residues).  The RELEASED weights were trained at 512 and their PE
+    base is bound to it; use non-default seq_max with retrained weights.
     """
     continuous = codebook_size in (None, "continuous")
     if continuous:
@@ -94,9 +103,10 @@ def preset(codebook_size=4096, downsampling: int = 1) -> Vq3dConfig:
         raise ValueError(f"unknown codebook size {codebook_size}")
     if downsampling not in (1, 2, 4):
         raise ValueError(f"unknown downsampling ratio {downsampling}")
+    if seq_max % downsampling:
+        raise ValueError(f"seq_max {seq_max} not divisible by df={downsampling}")
 
     levels = FSQ_LEVELS[codebook_size]
-    seq_max = 512
     max_tokens = seq_max // downsampling
     data = DataConfig(seq_max_size=seq_max, downsampling_ratio=downsampling)
 

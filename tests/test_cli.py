@@ -58,3 +58,53 @@ def test_gpt_config_validation():
         gpt.GptConfig(vocab_size=10, embed_dim=65, num_heads=16)
     cfg = gpt.GptConfig(vocab_size=10, embed_dim=64, num_heads=4, rope_dimensions=8)
     assert cfg.key_size == 16
+
+
+def test_long_chain_seq_max(tmp_path):
+    """--seq_max lifts the reference's hard 512-residue ceiling: a synthetic
+    600-residue chain tokenizes and decodes round-trip at seq_max=640 (the
+    reference CLI rejects it; inference_runner.py:52-56)."""
+    import jax
+    import numpy as np
+
+    from protein_structure_tokenizer_tpu.data.featurize import make_graph_from_pdb
+    from protein_structure_tokenizer_tpu.models import vq3d
+    from protein_structure_tokenizer_tpu.models.config import preset
+    from protein_structure_tokenizer_tpu.runtime.runner import InferenceRunner
+
+    # Synthetic extended-ish backbone, 600 residues.
+    n = 600
+    rng = np.random.RandomState(0)
+    lines = []
+    serial = 1
+    for i in range(n):
+        base = np.array([3.8 * i, 10.0 * np.sin(i / 9.0), 10.0 * np.cos(i / 9.0)])
+        for name, off in (("N", [0.0, 0.0, 0.0]), ("CA", [1.46, 0.0, 0.0]),
+                          ("C", [2.0, 1.4, 0.0]), ("O", [1.6, 2.5, 0.2])):
+            x, y, z = base + off + rng.randn(3) * 0.02
+            lines.append(
+                f"ATOM  {serial:>5} {name:<4}ALA A{i + 1:>4}    "
+                f"{x:>8.3f}{y:>8.3f}{z:>8.3f}  1.00  0.00           {name[0]}"
+            )
+            serial += 1
+    pdb = tmp_path / "long.pdb"
+    pdb.write_text("\n".join(lines) + "\n")
+
+    # The 512 default rejects it, like the reference.
+    with pytest.raises(NotImplementedError):
+        make_graph_from_pdb(str(pdb))
+
+    cfg = preset(4096, 2, seq_max=640)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    runner = InferenceRunner(cfg, params)
+    tokens = runner.tokenize([str(pdb)], batch_size_per_device=1)
+    (toks,) = tokens.values()
+    assert toks.shape == (1, n // 2)  # df=2: one token per 2 residues
+
+    np.save(tmp_path / "long_tokens.npy", toks)
+    out = runner.decode_tokens(
+        [str(tmp_path / "long_tokens.npy")], str(tmp_path / "dec"),
+        batch_size_per_device=1,
+    )
+    (prot,) = out.values()
+    assert prot.atom_positions.shape[0] == n
