@@ -109,6 +109,71 @@ def example_6_tokenize_roundtrip():
           f"codes shape {codes.shape} (random weights)")
 
 
+def example_7_lm_workflow():
+    """The paper's full loop at toy scale: token files -> train a tiny GPT ->
+    sample novel sequences -> decode them to structures (all random/toy
+    weights; swap in real checkpoints for the released sizes)."""
+    import dataclasses
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    import protein_structure_tokenizer_tpu as pst
+    from protein_structure_tokenizer_tpu.lm import gpt, sampling
+    from protein_structure_tokenizer_tpu.models import vq3d
+    from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+    from protein_structure_tokenizer_tpu.runtime.train_lm import (
+        LmTrainConfig,
+        TokenSequenceDataset,
+        init_train_state,
+        make_train_step,
+    )
+
+    gcfg = dataclasses.replace(
+        gpt.released_gpt_config(432),
+        num_layers=2, embed_dim=32, ffn_embed_dim=128, num_heads=4,
+        max_position_embeddings=16,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        rng = np.random.RandomState(0)
+        for i in range(8):
+            np.save(f"{d}/s{i}_tokens.npy", rng.randint(0, 432, size=10))
+        ds = TokenSequenceDataset.from_dir(d, gcfg, block_size=16)
+
+    mesh = mesh_lib.make_mesh()
+    tcfg = LmTrainConfig(warmup_steps=1, total_steps=3)
+    params, opt = init_train_state(jax.random.PRNGKey(0), gcfg, tcfg, mesh)
+    step_fn, _ = make_train_step(gcfg, tcfg, mesh)
+    stream = ds.batches(8)
+    for _ in range(3):
+        params, opt, metrics = step_fn(params, opt, mesh_lib.shard_batch(mesh, next(stream)))
+
+    seqs = sampling.generate(
+        params, gcfg, jax.random.PRNGKey(1), batch_size=2, num_tokens=16,
+        method="top_p", top_p=0.9, temperature=0.8,
+    )
+    toks = sampling.strip_special_tokens(
+        np.asarray(seqs)[0], gcfg.bos_token_id, gcfg.eos_token_id
+    )
+    toks = np.minimum(np.asarray(toks, np.uint32), 431)[None]
+
+    cfg, vparams = pst.load_tokenizer(432, 1)
+    if toks.shape[1] == 0:
+        toks = np.zeros((1, 4), np.uint32)
+    quantized = vq3d.indexes_to_codes(cfg, jnp.asarray(toks))
+    n = toks.shape[1]
+    pad = cfg.data.seq_max_size
+    quantized = jnp.pad(quantized, ((0, 0), (0, pad - n), (0, 0)))
+    nodes_mask = jnp.asarray((np.arange(pad) < n).astype(np.float32))[None, :, None]
+    out = vq3d.decode_and_make_structure(
+        vparams, cfg, quantized, nodes_mask, nodes_mask
+    )
+    coords = np.asarray(out["final_atom_positions"])[0, :n]
+    print(f"[7] trained LM (loss {float(metrics['loss']):.2f}) -> sampled "
+          f"{n} tokens -> decoded backbone {coords.shape} (toy weights)")
+
+
 EXAMPLES = [
     example_1_basic_usage,
     example_2_custom_config,
@@ -116,6 +181,7 @@ EXAMPLES = [
     example_4_batch_processing,
     example_5_info_only,
     example_6_tokenize_roundtrip,
+    example_7_lm_workflow,
 ]
 
 
