@@ -19,6 +19,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from protein_structure_tokenizer_tpu.parallel import cp
 from protein_structure_tokenizer_tpu.models.layers import (
     masked_layer_norm,
     mlp,
@@ -104,6 +105,7 @@ def _message_layer(
     exact: bool,
     use_pallas: bool | None = None,
     sender_onehot: jax.Array | None = None,
+    mesh=None,
 ) -> tuple[jax.Array, jax.Array]:
     dim = config.hidden_dimension
     batch, num_nodes, _ = node_feats.shape
@@ -137,6 +139,10 @@ def _message_layer(
     edges_4d = (
         edge_feats.reshape(batch, num_nodes, k_slots, -1) if fast else None
     )
+    if edges_4d is not None:
+        # Context parallelism (parallel/cp.py): receiver-row shards of the
+        # edge table; all message/aggregation/LN math is row-local.
+        edges_4d = cp.constrain(edges_4d, mesh, cp.EDGE4_SPEC)
 
     def message_preact(feats: jax.Array, first) -> jax.Array:
         """First MLP layer via the decomposed concat-matmul -> (B, N, K, D')."""
@@ -249,6 +255,8 @@ def _message_layer(
             edge_upd = edge_upd.reshape(batch, num_nodes, num_nodes, dim)
     edge_out = masked_layer_norm(p["norm_msg_2"], edge_upd, nodes_mask[..., None])
     edge_out = edge_out.reshape(batch, -1, dim)
+    if fast:
+        edge_out = cp.constrain(edge_out, mesh, cp.EDGE_SPEC)
 
     return edge_out, node_feats
 
@@ -266,6 +274,7 @@ def graph_neural_network(
     exact: bool = False,
     use_pallas: bool | None = None,
     sender_onehot: jax.Array | None = None,
+    mesh=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Stack of message-passing layers; returns (node_feats, edge_feats).
 
@@ -304,6 +313,7 @@ def graph_neural_network(
             exact,
             use_pallas,
             sender_onehot,
+            mesh,
         )
     return node_feats, edge_feats
 

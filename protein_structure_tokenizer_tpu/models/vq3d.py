@@ -28,6 +28,7 @@ from protein_structure_tokenizer_tpu.models.gnn import (
     graph_neural_network_init,
 )
 from protein_structure_tokenizer_tpu.models.layers import linear, linear_init
+from protein_structure_tokenizer_tpu.parallel import cp
 from protein_structure_tokenizer_tpu.models.posenc import (
     node_positional_embeddings,
     sinusoidal_features,
@@ -80,8 +81,12 @@ def structure_encoder(
     exact_aggregation: bool = False,
     use_pallas: bool | None = None,
     use_onehot: bool | None = None,
+    mesh=None,
 ):
-    """Node/edge embeddings: purely positional node init, geometry via edges."""
+    """Node/edge embeddings: purely positional node init, geometry via edges.
+
+    ``mesh`` with a "ctx" axis (parallel/cp.py) row-shards the (B, N*K, ...)
+    edge table over the mesh — context-parallel encode for long chains."""
     enc = cfg.encoder
     p = subtree(params, SCOPE_ENCODER)
     batch = graph.edge_features.shape[0]
@@ -101,6 +106,8 @@ def structure_encoder(
     sender_onehot = (
         jax.nn.one_hot(graph.senders, seq_max, dtype=jnp.bfloat16) if fast else None
     )
+    if sender_onehot is not None:
+        sender_onehot = cp.constrain(sender_onehot, mesh, cp.EDGE_SPEC)
 
     if fast:
         # Edge PE depends only on the integer index difference s - n, which
@@ -141,6 +148,7 @@ def structure_encoder(
         )  # (B, E, PE)
         edge_feats = jnp.concatenate([edge_pe, graph.edge_features], axis=-1)
         edge_feats = linear(p["init_edge_embed"], edge_feats)
+    edge_feats = cp.constrain(edge_feats, mesh, cp.EDGE_SPEC)
 
     return graph_neural_network(
         subtree(params, SCOPE_GNN),
@@ -154,6 +162,7 @@ def structure_encoder(
         exact=exact_aggregation,
         use_pallas=use_pallas,
         sender_onehot=sender_onehot,
+        mesh=mesh,
     )
 
 
@@ -204,6 +213,7 @@ def encode(
     exact_aggregation: bool = False,
     use_pallas: bool | None = None,
     use_onehot: bool | None = None,
+    mesh=None,
 ):
     """Graph -> (continuous embedding (B,T,D_codes), pre-projection (B,T,128))."""
     nodes_emb, _ = structure_encoder(
@@ -214,6 +224,7 @@ def encode(
         exact_aggregation=exact_aggregation,
         use_pallas=use_pallas,
         use_onehot=use_onehot,
+        mesh=mesh,
     )
 
     attn_mask = _down_attention_mask(
@@ -291,11 +302,13 @@ def encode_and_quantize(
     exact_aggregation: bool = False,
     use_pallas: bool | None = None,
     use_onehot: bool | None = None,
+    mesh=None,
 ):
     continuous, pre_proj = encode(
         params,
         cfg,
         graph,
+        mesh=mesh,
         canonical_receivers=canonical_receivers,
         exact_aggregation=exact_aggregation,
         use_pallas=use_pallas,
@@ -427,6 +440,7 @@ def forward(
         graph,
         canonical_receivers=canonical_receivers,
         exact_aggregation=exact_aggregation,
+        mesh=mesh,
     )
     quantized, out = quantize_embedding(
         params,

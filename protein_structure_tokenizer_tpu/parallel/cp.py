@@ -38,9 +38,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 CTX_AXIS = "ctx"
 
-# Specs for the two quadratic layouts.
+# Specs for the two quadratic decode layouts.
 PAIR_SPEC = P(DATA_AXIS, CTX_AXIS, None, None)  # (B, N_i, N_j, C)
 LOGITS_SPEC = P(DATA_AXIS, None, CTX_AXIS, None)  # (B, h, i, j)
+# Encoder edge-table layouts: the E = N*K axis shards in receiver-row blocks
+# (row-major by receiver, so ctx | N keeps shard boundaries on row edges).
+EDGE_SPEC = P(DATA_AXIS, CTX_AXIS, None)  # (B, E, D) / (B, E, N) one-hot
+EDGE4_SPEC = P(DATA_AXIS, CTX_AXIS, None, None)  # (B, N, K, D)
 
 
 def make_ctx_mesh(

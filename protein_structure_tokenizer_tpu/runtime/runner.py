@@ -137,6 +137,8 @@ class InferenceRunner:
 
         cfg = config
 
+        model_mesh = self.mesh  # cp constraints no-op without a "ctx" axis
+
         def _tokenize_impl(params, graph):
             out = vq3d.encode_and_quantize(
                 params,
@@ -144,15 +146,14 @@ class InferenceRunner:
                 graph,
                 compute_usage=False,
                 exact_aggregation=exact_aggregation,
+                mesh=model_mesh,
             )
             return {"tokens": out["tokens"]}
-
-        decode_mesh = self.mesh  # cp constraints no-op without a "ctx" axis
 
         def _decode_impl(params, quantized, nodes_mask, tokens_mask):
             out = vq3d.decode_and_make_structure(
                 params, cfg, quantized, nodes_mask, tokens_mask,
-                exact_ipa=exact_aggregation, mesh=decode_mesh,
+                exact_ipa=exact_aggregation, mesh=model_mesh,
             )
             return {
                 "final_atom_positions": out["final_atom_positions"],
@@ -190,7 +191,7 @@ class InferenceRunner:
                 compute_usage=False,
                 exact_aggregation=exact_aggregation,
                 exact_ipa=exact_aggregation,
-                mesh=decode_mesh,
+                mesh=model_mesh,
             )
             return {
                 "tokens": quant["tokens"],

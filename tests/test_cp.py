@@ -121,3 +121,55 @@ def test_runner_context_parallel_decode(tmp_path, setup):
         np.testing.assert_allclose(
             out_cp[name].atom_positions, out_dp[name].atom_positions, atol=1e-3
         )
+
+
+def test_ctx_encode_tokens_match(setup):
+    """Context-parallel encode: token ids identical to the single-device
+    path with the edge table row-sharded over "ctx"."""
+    from protein_structure_tokenizer_tpu.data.types import ProteinGraphBatch
+
+    cfg, params, _, _, _ = setup
+    seq_max, k = cfg.data.seq_max_size, cfg.encoder.gnn.graph_max_neighbor
+    batch, n_real = 4, 12
+    rng = np.random.RandomState(2)
+    senders = np.concatenate([
+        rng.randint(0, n_real, size=(n_real * k,)),
+        np.repeat(np.arange(n_real, seq_max), k),
+    ]).astype(np.int32)
+    receivers = np.repeat(np.arange(seq_max), k).astype(np.int32)
+    nodes_mask = (np.arange(seq_max) < n_real).astype(np.float32)[:, None]
+    t = seq_max // cfg.data.downsampling_ratio
+    tokens_mask = (np.arange(t) < n_real // cfg.data.downsampling_ratio).astype(
+        np.float32
+    )[:, None]
+    edges = rng.randn(seq_max * k, 27).astype(np.float32)
+    edges[n_real * k:] = 0
+
+    def tile(x):
+        return jnp.asarray(np.stack([x] * batch))
+
+    graph = ProteinGraphBatch(
+        n_node=tile(np.array([n_real])),
+        n_edge=tile(np.array([seq_max * k])),
+        nodes_mask=tile(nodes_mask),
+        tokens_mask=tile(tokens_mask),
+        nodes_original_coordinates=tile((rng.randn(seq_max, 3) * 10).astype(np.float32)),
+        node_features=tile(np.zeros((seq_max, 3), np.float32)),
+        edge_features=tile(edges),
+        senders=tile(senders),
+        receivers=tile(receivers),
+    )
+
+    ref = vq3d.encode_and_quantize(params, cfg, graph, compute_usage=False)["tokens"]
+
+    mesh = cp.make_ctx_mesh(4)
+    from jax.sharding import NamedSharding
+
+    data_sh = NamedSharding(mesh, P("data"))
+    graph_cp = jax.tree_util.tree_map(lambda x: jax.device_put(x, data_sh), graph)
+    out = jax.jit(
+        lambda g: vq3d.encode_and_quantize(
+            params, cfg, g, compute_usage=False, mesh=mesh
+        )["tokens"]
+    )(graph_cp)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
