@@ -319,7 +319,37 @@ class InferenceRunner:
                 )
             return chunk, failed_rows, local_batch, batch
 
+        def fetch_and_save(entry):
+            """Block on one in-flight batch's device results and persist them."""
+            chunk, failed_rows, local_batch, out = entry
+            with timers.annotated_stage("device"):
+                tokens = mesh_lib.local_rows(out["tokens"])
+            n_tokens = np.asarray(local_batch.tokens_mask).reshape(
+                tokens.shape[0], -1
+            ).sum(axis=1)
+            with timers.annotated_stage("save"):
+                # Each host writes only its own rows (process-sharded IO).
+                for row, path in enumerate(chunk[local]):
+                    if row in failed_rows:
+                        continue
+                    name = os.path.basename(path).split(".pdb")[0]
+                    token_array = tokens[row : row + 1, : int(n_tokens[row])]
+                    results[name] = token_array
+                    if token_save_path is not None:
+                        np.save(
+                            os.path.join(token_save_path, name + "_tokens"),
+                            token_array,
+                        )
+
+        # Two-deep dispatch pipeline on top of the host prefetch thread: jax
+        # dispatch is async, so batch i+1 is enqueued on the device BEFORE
+        # blocking on batch i's results — the per-dispatch latency (large
+        # through a tunneled chip, nonzero everywhere) overlaps device
+        # compute instead of serializing after it.
+        from collections import deque
+
         prefetcher = ThreadPoolExecutor(1)
+        in_flight: deque = deque()
         try:
             with device_trace(profile_dir):
                 pending = prefetcher.submit(prepare, 0)
@@ -330,31 +360,13 @@ class InferenceRunner:
                     if local_batch is None:
                         logger.warning("entire batch %d failed featurization", it)
                         continue
-                    start = time.perf_counter()
-                    with timers.annotated_stage("device"):
+                    with timers.annotated_stage("dispatch"):
                         out = self.tokenize_fn(self.params, batch)
-                        tokens = mesh_lib.local_rows(out["tokens"])
-                    n_tokens = np.asarray(local_batch.tokens_mask).reshape(
-                        tokens.shape[0], -1
-                    ).sum(axis=1)
-                    logger.info(
-                        "tokenized %d structures in %.3fs",
-                        global_batch,
-                        time.perf_counter() - start,
-                    )
-                    with timers.annotated_stage("save"):
-                        # Each host writes only its own rows (process-sharded IO).
-                        for row, path in enumerate(chunk[local]):
-                            if row in failed_rows:
-                                continue
-                            name = os.path.basename(path).split(".pdb")[0]
-                            token_array = tokens[row : row + 1, : int(n_tokens[row])]
-                            results[name] = token_array
-                            if token_save_path is not None:
-                                np.save(
-                                    os.path.join(token_save_path, name + "_tokens"),
-                                    token_array,
-                                )
+                    in_flight.append((chunk, failed_rows, local_batch, out))
+                    if len(in_flight) > 1:
+                        fetch_and_save(in_flight.popleft())
+                while in_flight:
+                    fetch_and_save(in_flight.popleft())
         finally:
             prefetcher.shutdown(wait=False, cancel_futures=True)
         timers.log_summary("tokenize stages")
@@ -397,6 +409,39 @@ class InferenceRunner:
             except ImportError:
                 pass
 
+        def fetch_and_write(entry):
+            """Block on one in-flight decode batch and persist the PDBs."""
+            chunk, num_nodes, out = entry
+            with timers.annotated_stage("device"):
+                positions = np.asarray(jax.device_get(out["final_atom_positions"]))
+                mask = np.asarray(jax.device_get(out["final_atom_mask"]))
+            total_padded = positions.shape[1]
+            aatype_dummy = np.concatenate(
+                [np.ones((total_padded, 1)), np.zeros((total_padded, 20))], axis=-1
+            )
+            with timers.annotated_stage("write_pdb"):
+                for row, path in enumerate(chunk):
+                    n = int(num_nodes[row])
+                    prot = Protein.from_atom37_rep(
+                        atom37_positions=positions[row, :n],
+                        atom37_gt_exists=mask[row, :n],
+                        atom37_atom_exists=mask[row, :n],
+                        aatype=aatype_dummy[:n],
+                        chain_id="A",
+                    )
+                    name = os.path.basename(path).split("_tokens.npy")[0].split(".npy")[0]
+                    results[name] = prot
+                    if structure_dir is not None:
+                        with open(
+                            os.path.join(structure_dir, f"structure_{name}.pdb"), "w"
+                        ) as f:
+                            f.write(to_pdb(prot))
+
+        # Same two-deep dispatch pipeline as tokenize(): batch i+1 is enqueued
+        # before blocking on batch i's coordinates.
+        from collections import deque
+
+        in_flight: deque = deque()
         with device_trace(profile_dir):
             for it in iterator:
                 chunk = padded_files[it * global_batch : (it + 1) * global_batch]
@@ -413,7 +458,7 @@ class InferenceRunner:
                     nodes_mask = build_nodes_mask_from_tokens_mask(tokens_mask, df)
                     num_nodes = nodes_mask.sum(axis=-1)
 
-                with timers.annotated_stage("device"):
+                with timers.annotated_stage("dispatch"):
                     quantized = self.indexes_to_codes_fn(jnp.asarray(tokens_ids))
                     out = self.decode_fn(
                         self.params,
@@ -425,30 +470,11 @@ class InferenceRunner:
                             self.mesh, jnp.asarray(tokens_mask[..., None], dtype=jnp.float32)
                         ),
                     )
-                    positions = np.asarray(jax.device_get(out["final_atom_positions"]))
-                    mask = np.asarray(jax.device_get(out["final_atom_mask"]))
-
-                total_padded = positions.shape[1]
-                aatype_dummy = np.concatenate(
-                    [np.ones((total_padded, 1)), np.zeros((total_padded, 20))], axis=-1
-                )
-                with timers.annotated_stage("write_pdb"):
-                    for row, path in enumerate(chunk):
-                        n = int(num_nodes[row])
-                        prot = Protein.from_atom37_rep(
-                            atom37_positions=positions[row, :n],
-                            atom37_gt_exists=mask[row, :n],
-                            atom37_atom_exists=mask[row, :n],
-                            aatype=aatype_dummy[:n],
-                            chain_id="A",
-                        )
-                        name = os.path.basename(path).split("_tokens.npy")[0].split(".npy")[0]
-                        results[name] = prot
-                        if structure_dir is not None:
-                            with open(
-                                os.path.join(structure_dir, f"structure_{name}.pdb"), "w"
-                            ) as f:
-                                f.write(to_pdb(prot))
+                in_flight.append((chunk, num_nodes, out))
+                if len(in_flight) > 1:
+                    fetch_and_write(in_flight.popleft())
+            while in_flight:
+                fetch_and_write(in_flight.popleft())
         timers.log_summary("decode stages")
         return results
 
