@@ -23,23 +23,57 @@ def main(argv=None) -> None:
     parser.add_argument("--output_dir", type=str, help="directory for batch outputs")
     parser.add_argument("--chain", type=str, default=None)
     parser.add_argument("--info_only", action="store_true")
-    parser.add_argument("--num_neighbor", type=int, default=50)
-    parser.add_argument("--downsampling_ratio", type=int, default=1)
-    parser.add_argument("--padding_num_residue", type=int, default=512)
-    parser.add_argument("--min_valid_residues", type=int, default=50)
+    parser.add_argument("--num_neighbor", type=int, default=None)
+    parser.add_argument("--downsampling_ratio", type=int, default=None)
+    parser.add_argument("--padding_num_residue", type=int, default=None)
+    parser.add_argument("--min_valid_residues", type=int, default=None)
+    parser.add_argument(
+        "--config", type=str, default=None,
+        help="YAML with pipeline settings (flat keys and/or a `featurize:` "
+        "section); explicit flags override it — the reference CLI's "
+        "config-file mode (data_pipeline.py:360-363,440-455)",
+    )
     args = parser.parse_args(argv)
 
+    # defaults <- config file <- explicit flags (later wins).
+    featurize_kw = {}
+    pipeline_kw = {}
+    if args.config:
+        import dataclasses
+
+        import yaml
+
+        with open(args.config) as f:
+            loaded = yaml.safe_load(f) or {}
+        feat_fields = {f.name for f in dataclasses.fields(FeaturizeConfig)}
+        pipe_fields = {f.name for f in dataclasses.fields(PipelineConfig)} - {"featurize"}
+        featurize_kw.update(loaded.pop("featurize", None) or {})
+        for key, value in loaded.items():
+            if key in feat_fields:
+                featurize_kw[key] = value
+            elif key in pipe_fields:
+                pipeline_kw[key] = value
+            else:
+                parser.error(f"unknown config key {key!r}")
+        bad = set(featurize_kw) - feat_fields
+        if bad:
+            parser.error(f"unknown featurize config keys {sorted(bad)}")
+    if args.num_neighbor is not None:
+        featurize_kw["num_neighbor"] = args.num_neighbor
+    if args.downsampling_ratio is not None:
+        featurize_kw["downsampling_ratio"] = args.downsampling_ratio
+    if args.padding_num_residue is not None:
+        featurize_kw["padding_num_residue"] = args.padding_num_residue
+        featurize_kw["crop_index"] = args.padding_num_residue
+    if args.min_valid_residues is not None:
+        pipeline_kw["min_number_valid_residues"] = args.min_valid_residues
+    pipeline_kw.setdefault(
+        "max_number_residues",
+        featurize_kw.get("padding_num_residue", FeaturizeConfig().padding_num_residue),
+    )
+
     pipeline = DataPipeline(
-        PipelineConfig(
-            featurize=FeaturizeConfig(
-                num_neighbor=args.num_neighbor,
-                downsampling_ratio=args.downsampling_ratio,
-                padding_num_residue=args.padding_num_residue,
-                crop_index=args.padding_num_residue,
-            ),
-            min_number_valid_residues=args.min_valid_residues,
-            max_number_residues=args.padding_num_residue,
-        )
+        PipelineConfig(featurize=FeaturizeConfig(**featurize_kw), **pipeline_kw)
     )
 
     if args.info_only:

@@ -108,3 +108,39 @@ def test_long_chain_seq_max(tmp_path):
     )
     (prot,) = out.values()
     assert prot.atom_positions.shape[0] == n
+
+
+def test_data_pipeline_config_yaml(tmp_path):
+    """--config YAML merges under explicit flags (reference data_pipeline
+    config-file mode)."""
+    import yaml
+
+    from protein_structure_tokenizer_tpu.cli import data_pipeline as cli
+
+    cfgfile = tmp_path / "pipe.yaml"
+    cfgfile.write_text(yaml.safe_dump({
+        "featurize": {"num_neighbor": 30, "padding_num_residue": 448,
+                      "crop_index": 448},
+        "min_number_valid_residues": 40,
+    }))
+    src = "/root/reference/casp14_pdbs/T1024.pdb"
+    out = tmp_path / "out.npz"
+    cli.main(["--input", src, "--output", str(out), "--config", str(cfgfile)])
+    import numpy as np
+
+    data = np.load(out)
+    # 448-residue padding from the config file took effect.
+    assert data["graph::nodes_mask"].shape[0] == 448
+    # k=30 neighbors -> 448*30 edges.
+    assert data["graph::senders"].shape[0] == 448 * 30
+
+    # Explicit flag overrides the file.
+    out2 = tmp_path / "out2.npz"
+    cli.main(["--input", src, "--output", str(out2), "--config", str(cfgfile),
+              "--num_neighbor", "20"])
+    assert np.load(out2)["graph::senders"].shape[0] == 448 * 20
+
+    with pytest.raises(SystemExit):
+        bad = tmp_path / "bad.yaml"
+        bad.write_text("nonsense_key: 1\n")
+        cli.main(["--input", src, "--output", str(out), "--config", str(bad)])
