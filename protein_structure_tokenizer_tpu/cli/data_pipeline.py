@@ -58,6 +58,11 @@ def main(argv=None) -> None:
         bad = set(featurize_kw) - feat_fields
         if bad:
             parser.error(f"unknown featurize config keys {sorted(bad)}")
+        # A config that raises the padding must raise the crop ceiling with it
+        # (the flag path does the same); otherwise long chains get silently
+        # random-cropped to the 512 default.
+        if "padding_num_residue" in featurize_kw:
+            featurize_kw.setdefault("crop_index", featurize_kw["padding_num_residue"])
     if args.num_neighbor is not None:
         featurize_kw["num_neighbor"] = args.num_neighbor
     if args.downsampling_ratio is not None:

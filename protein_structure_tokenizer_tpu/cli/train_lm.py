@@ -121,6 +121,10 @@ def main(argv=None) -> None:
     use_tp = args.tensor_parallel > 1
     if use_pp and use_tp:
         raise SystemExit("--pipeline_parallel and --tensor_parallel are exclusive")
+    if args.sequence_parallel and not use_tp:
+        raise SystemExit("--sequence_parallel requires --tensor_parallel > 1")
+    if args.num_microbatches is not None and not use_pp:
+        raise SystemExit("--num_microbatches requires --pipeline_parallel > 1")
     if use_pp:
         from protein_structure_tokenizer_tpu.parallel import pp
 

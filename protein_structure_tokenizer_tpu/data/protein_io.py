@@ -61,10 +61,13 @@ def from_pdb_string(pdb_str: str, chain_id: str | None = None) -> Protein:
     """PDB text -> Protein (reference protein.py:114-189 semantics).
 
     First/only model; optional single-chain filter; insertion codes rejected;
-    non-standard residues become X; atoms outside the 37-type vocabulary are
-    ignored; residues with no recognized atoms are skipped; original residue
-    numbering and per-atom B-factors are preserved; chain letters map to ints
-    in sorted-unique order.  Fixed-column reader (no BioPython), same idiom as
+    non-standard residues (incl. HETATM hetero residues such as MSE — the
+    reference's BioPython loop iterates those too) become X; atoms outside the
+    37-type vocabulary are ignored; residues with no recognized atoms are
+    skipped; alternate locations keep the highest-occupancy conformer
+    (BioPython's disordered-atom default); original residue numbering and
+    per-atom B-factors are preserved; chain letters map to ints in
+    sorted-unique order.  Fixed-column reader (no BioPython), same idiom as
     data/sample.parse_pdb_string.
     """
     import io
@@ -80,8 +83,9 @@ def from_pdb_string(pdb_str: str, chain_id: str | None = None) -> Protein:
                 raise ValueError(
                     f"Only single model PDBs are supported. Found {num_models} models."
                 )
-        elif record == "ATOM  ":
+        elif record in ("ATOM  ", "HETATM"):
             atom_name = line[12:16].strip()
+            altloc = line[16]
             resname = line[17:20].strip()
             chain = line[21]
             if chain_id is not None and chain != chain_id:
@@ -105,10 +109,17 @@ def from_pdb_string(pdb_str: str, chain_id: str | None = None) -> Protein:
                 [float(line[30:38]), float(line[38:46]), float(line[46:54])]
             )
             try:
+                occupancy = float(line[54:60])
+            except ValueError:
+                occupancy = 1.0
+            try:
                 bfac = float(line[60:66])
             except ValueError:
                 bfac = 0.0
-            residues[key]["atoms"].setdefault(atom_name, (coord, bfac))
+            atoms = residues[key]["atoms"]
+            if atom_name in atoms and altloc != " " and occupancy <= atoms[atom_name][2]:
+                continue
+            atoms[atom_name] = (coord, bfac, occupancy)
 
     aatype, positions, masks, res_index, chains, bfactors = [], [], [], [], [], []
     for chain, resseq in order:
@@ -119,7 +130,7 @@ def from_pdb_string(pdb_str: str, chain_id: str | None = None) -> Protein:
         pos = np.zeros((37, 3))
         mask = np.zeros((37,))
         bfac = np.zeros((37,))
-        for name, (coord, b) in res["atoms"].items():
+        for name, (coord, b, _) in res["atoms"].items():
             idx = constants.ATOM_ORDER[name]
             pos[idx], mask[idx], bfac[idx] = coord, 1.0, b
         aatype.append(constants.RESTYPE_ORDER.get(shortname, constants.RESTYPE_NUM))

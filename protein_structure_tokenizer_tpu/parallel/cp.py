@@ -35,6 +35,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+
 DATA_AXIS = "data"
 CTX_AXIS = "ctx"
 
@@ -51,21 +53,13 @@ def make_ctx_mesh(
     n_ctx: int, devices: Optional[Sequence[jax.Device]] = None
 ) -> Mesh:
     """Mesh(("data", "ctx")): trailing (ICI-adjacent) axis for the row shards."""
-    devices = list(devices) if devices is not None else jax.devices()
-    if len(devices) % n_ctx:
-        raise ValueError(f"{len(devices)} devices not divisible by n_ctx={n_ctx}")
-    grid = np.asarray(devices).reshape(len(devices) // n_ctx, n_ctx)
-    return Mesh(grid, (DATA_AXIS, CTX_AXIS))
+    return mesh_lib.make_hybrid_mesh(CTX_AXIS, n_ctx, devices)
 
 
 def has_ctx_axis(mesh: Optional[Mesh]) -> bool:
-    return mesh is not None and CTX_AXIS in mesh.axis_names and (
-        mesh.shape[CTX_AXIS] > 1
-    )
+    return mesh_lib.has_axis(mesh, CTX_AXIS)
 
 
 def constrain(x: jax.Array, mesh: Optional[Mesh], spec: P) -> jax.Array:
     """Sharding hint that degrades to a no-op without a >1 ctx axis."""
-    if not has_ctx_axis(mesh):
-        return x
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+    return mesh_lib.constrain(x, mesh, spec, CTX_AXIS)

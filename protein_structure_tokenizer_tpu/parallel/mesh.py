@@ -45,6 +45,37 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_hybrid_mesh(
+    axis_name: str, n: int, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """Mesh(("data", axis_name)) with the trailing axis of size ``n``.
+
+    The trailing axis varies fastest in device order — adjacent chips on a
+    real slice — so the model/pipe/ctx collectives ride the shortest ICI
+    hops.  Shared builder for parallel/{tp,pp,cp}.py.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    if len(devices) % n:
+        raise ValueError(f"{len(devices)} devices not divisible by {axis_name}={n}")
+    grid = np.asarray(devices).reshape(len(devices) // n, n)
+    return Mesh(grid, (DATA_AXIS, axis_name))
+
+
+def has_axis(mesh: Optional[Mesh], axis_name: str) -> bool:
+    return (
+        mesh is not None
+        and axis_name in mesh.axis_names
+        and mesh.shape[axis_name] > 1
+    )
+
+
+def constrain(x: jax.Array, mesh: Optional[Mesh], spec: P, axis_name: str) -> jax.Array:
+    """Sharding hint that degrades to a no-op without a >1 ``axis_name`` axis."""
+    if not has_axis(mesh, axis_name):
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding for batched arrays."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -119,10 +150,28 @@ def global_batch_size(mesh: Mesh, per_device: int) -> int:
 def process_local_slice(mesh: Mesh, global_batch: int) -> slice:
     """The [start, stop) rows of the global batch this host must feed.
 
-    With a 1-D mesh laid out process-contiguously (the jax.devices() default),
-    each host owns an equal contiguous span of the batch.
+    Derived from the batch sharding itself, so it is correct on 2-D meshes
+    too (context/pipeline parallel: devices along the non-"data" axis
+    replicate rows, so a host's devices may collectively own more than
+    1/num_processes of the batch).  The rows a host owns must be contiguous
+    (true for the jax.devices() process-contiguous default order).
     """
-    num_procs = jax.process_count()
-    per_proc = global_batch // num_procs
-    start = jax.process_index() * per_proc
-    return slice(start, start + per_proc)
+    index_map = batch_sharding(mesh).addressable_devices_indices_map(
+        (global_batch,)
+    )
+    blocks = sorted(
+        {
+            (
+                idx[0].start or 0,
+                global_batch if idx[0].stop is None else idx[0].stop,
+            )
+            for idx in index_map.values()
+        }
+    )
+    start, stop = blocks[0][0], blocks[-1][1]
+    if sum(t - s for s, t in blocks) != stop - start:
+        raise ValueError(
+            "this process's batch rows are not contiguous under the mesh "
+            "layout; feed the batch globally instead of per-host"
+        )
+    return slice(start, stop)

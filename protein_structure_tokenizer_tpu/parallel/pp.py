@@ -38,6 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+
 from protein_structure_tokenizer_tpu.lm import gpt
 from protein_structure_tokenizer_tpu.models.layers import layer_norm, linear, rms_norm
 from protein_structure_tokenizer_tpu.utils.params import Params
@@ -51,11 +53,7 @@ def make_pp_mesh(
 ) -> Mesh:
     """Mesh(("data", "pipe")): trailing (fastest-varying = ICI-adjacent) axis
     carries the stage-to-stage ppermute traffic."""
-    devices = list(devices) if devices is not None else jax.devices()
-    if len(devices) % n_pipe:
-        raise ValueError(f"{len(devices)} devices not divisible by n_pipe={n_pipe}")
-    grid = np.asarray(devices).reshape(len(devices) // n_pipe, n_pipe)
-    return Mesh(grid, (DATA_AXIS, PIPE_AXIS))
+    return mesh_lib.make_hybrid_mesh(PIPE_AXIS, n_pipe, devices)
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -162,19 +160,26 @@ def _head(rest: Params, cfg: gpt.GptConfig, x):
 
 def _pp_logits_local(cfg: gpt.GptConfig, n_pipe: int, stages, rest, token_ids):
     """Inside-shard_map body: token_ids (M, mB_local, T) -> per-microbatch
-    last-stage logits (M, mB_local, T, V), psum-replicated over "pipe"."""
+    last-stage logits (M, mB_local, T, V), psum-replicated over "pipe".
+
+    Embedding lookups run once per microbatch BEFORE the scan and the LM head
+    once per microbatch AFTER it — inside the tick they would re-execute on
+    every stage every tick, S*(M+S-1) times instead of M (SPMD runs the same
+    program on all stages; the where() only masks the result, not the work).
+    The tick psums (M, mb, T, E) activations, cheaper than (..., vocab).
+    """
     s_idx = jax.lax.axis_index(PIPE_AXIS)
     num_micro, mb, t = token_ids.shape
     mask = gpt.build_causal_mask(1, t)
     embeddings = rest["gpt_decoder/~/token_embed"]["embeddings"]
+    emb_all = jnp.take(embeddings, token_ids, axis=0)  # (M, mb, T, E)
     perm = [(i, (i + 1) % n_pipe) for i in range(n_pipe)]
 
     def tick(buf, tk):
         micro = jnp.clip(tk, 0, num_micro - 1)
-        inp = jnp.take(embeddings, token_ids[micro], axis=0)
-        x = jnp.where(s_idx == 0, inp, buf)
+        x = jnp.where(s_idx == 0, emb_all[micro], buf)
         y = _local_layers(stages, cfg, x, mask)
-        out = jnp.where(s_idx == n_pipe - 1, _head(rest, cfg, y), 0.0)
+        out = jnp.where(s_idx == n_pipe - 1, y, 0.0)
         nxt = jax.lax.ppermute(y, PIPE_AXIS, perm)
         return nxt, out
 
@@ -182,7 +187,8 @@ def _pp_logits_local(cfg: gpt.GptConfig, n_pipe: int, stages, rest, token_ids):
     _, outs = jax.lax.scan(tick, buf0, jnp.arange(num_micro + n_pipe - 1))
     # Tick t emits microbatch t-(S-1) from the last stage; earlier ticks are
     # warm-up bubbles.  Only the last stage contributed nonzero rows.
-    return jax.lax.psum(outs[n_pipe - 1 :], PIPE_AXIS)
+    acts = jax.lax.psum(outs[n_pipe - 1 :], PIPE_AXIS)  # (M, mb, T, E)
+    return _head(rest, cfg, acts)
 
 
 def make_pp_forward(cfg: gpt.GptConfig, mesh: Mesh, num_microbatches: int):
@@ -214,13 +220,20 @@ def make_pp_forward(cfg: gpt.GptConfig, mesh: Mesh, num_microbatches: int):
     return forward
 
 
-def make_pp_loss_fn(cfg: gpt.GptConfig, mesh: Mesh, num_microbatches: int):
+def make_pp_loss_fn(
+    cfg: gpt.GptConfig,
+    mesh: Mesh,
+    num_microbatches: int,
+    *,
+    label_smoothing: float = 0.0,
+):
     """(pp_params, tokens (B, T+1)) -> mean next-token cross-entropy.
 
     The CE is computed inside the shard_map region on the last stage's
-    logits (pad targets masked), psum'd as two scalars (loss numerator and
-    token count) — no logit gather off the pipeline.  Differentiable:
-    ``jax.grad`` of this is the GPipe backward schedule.
+    logits (pad targets masked, optional label smoothing), psum'd as two
+    scalars (loss numerator and token count) — no logit gather off the
+    pipeline.  Differentiable: ``jax.grad`` of this is the GPipe backward
+    schedule.
     """
     n_pipe = mesh.shape[PIPE_AXIS]
     if cfg.num_layers % n_pipe:
@@ -233,6 +246,12 @@ def make_pp_loss_fn(cfg: gpt.GptConfig, mesh: Mesh, num_microbatches: int):
         mask = (targets != cfg.pad_token_id).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         tok_ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        if label_smoothing > 0:
+            # CE against optax.smooth_labels targets:
+            # onehot*(1-eps) + eps/V  ->  -(1-eps+eps/V)*logp_t - (eps/V)*sum(logp).
+            eps = label_smoothing
+            v = cfg.vocab_size
+            tok_ll = (1.0 - eps) * tok_ll + (eps / v) * jnp.sum(logp, axis=-1)
         num = -jnp.sum(tok_ll * mask)
         den = jnp.sum(mask)
         num = jax.lax.psum(num, DATA_AXIS)

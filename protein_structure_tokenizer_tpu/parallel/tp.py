@@ -27,6 +27,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
@@ -41,26 +43,18 @@ SP_SPEC = P(DATA_AXIS, MODEL_AXIS, None)
 def make_2d_mesh(
     n_model: int, devices: Optional[Sequence[jax.Device]] = None
 ) -> Mesh:
-    """Mesh(("data", "model")) with the trailing axis (fastest-varying device
-    order = closest chips on a real slice) used for the model split."""
-    devices = list(devices) if devices is not None else jax.devices()
-    if len(devices) % n_model:
-        raise ValueError(f"{len(devices)} devices not divisible by n_model={n_model}")
-    grid = np.asarray(devices).reshape(len(devices) // n_model, n_model)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    """Mesh(("data", "model")): trailing (ICI-adjacent) axis carries the
+    model split."""
+    return mesh_lib.make_hybrid_mesh(MODEL_AXIS, n_model, devices)
 
 
 def has_model_axis(mesh: Optional[Mesh]) -> bool:
-    return mesh is not None and MODEL_AXIS in mesh.axis_names and (
-        mesh.shape[MODEL_AXIS] > 1
-    )
+    return mesh_lib.has_axis(mesh, MODEL_AXIS)
 
 
 def constrain(x: jax.Array, mesh: Optional[Mesh], spec: P) -> jax.Array:
     """Sharding hint that degrades to a no-op without a >1 model axis."""
-    if not has_model_axis(mesh):
-        return x
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+    return mesh_lib.constrain(x, mesh, spec, MODEL_AXIS)
 
 
 def gpt_param_spec(path: str) -> P:

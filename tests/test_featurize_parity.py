@@ -143,3 +143,27 @@ def test_protein_from_pdb_string():
     np.testing.assert_allclose(again.atom_positions, prot.atom_positions, atol=2e-3)
     np.testing.assert_array_equal(again.aatype, prot.aatype)
     np.testing.assert_array_equal(again.residue_index, prot.residue_index)
+
+
+def test_protein_from_pdb_string_hetatm_and_altloc():
+    """Hetero residues (e.g. MSE) are kept as X like the reference's
+    BioPython loop, and alternate locations keep the highest occupancy."""
+    from protein_structure_tokenizer_tpu.data import constants, protein_io
+
+    pdb = "\n".join([
+        "ATOM      1  N   ALA A   1       0.000   0.000   0.000  1.00 10.00           N",
+        "ATOM      2  CA AALA A   1       1.000   0.000   0.000  0.30 10.00           C",
+        "ATOM      3  CA BALA A   1       2.000   0.000   0.000  0.70 10.00           C",
+        "HETATM    4  N   MSE A   2       3.000   0.000   0.000  1.00 10.00           N",
+        "HETATM    5  CA  MSE A   2       4.000   0.000   0.000  1.00 10.00           C",
+        "HETATM    6 SE   MSE A   2       5.000   0.000   0.000  1.00 10.00          SE",
+    ]) + "\n"
+    prot = protein_io.from_pdb_string(pdb)
+    assert prot.aatype.shape[0] == 2
+    assert constants.RESTYPES_WITH_X[prot.aatype[0]] == "A"
+    assert constants.RESTYPES_WITH_X[prot.aatype[1]] == "X"  # MSE -> unknown
+    ca = constants.ATOM_ORDER["CA"]
+    # Highest-occupancy altloc B won.
+    np.testing.assert_allclose(prot.atom_positions[0, ca], [2.0, 0.0, 0.0])
+    # SE is outside the atom37 vocabulary; N/CA of the MSE residue kept.
+    assert prot.atom_mask[1].sum() == 2
