@@ -65,6 +65,10 @@ def parse_args(argv=None):
                    help="Fraction of layers trained with unclamped FAPE")
     p.add_argument("--seq_max", type=int, default=512,
                    help="Residue padding/ceiling (train longer-chain models than the reference's 512 cap)")
+    p.add_argument("--context_parallel", type=int, default=1,
+                   help="Row-shard the quadratic tensors (edge table, pair "
+                   "track, IPA logits) over a ('data','ctx') mesh in forward "
+                   "AND backward — 1/ctx pair memory for long-chain training")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=20)
@@ -93,7 +97,12 @@ def main(argv=None) -> None:
         grad_clip_norm=args.grad_clip_norm,
         loss=LossConfig(fape=FapeConfig(pct_unclamped=args.pct_unclamped)),
     )
-    mesh = mesh_lib.make_mesh()
+    if args.context_parallel > 1:
+        from protein_structure_tokenizer_tpu.parallel import cp
+
+        mesh = cp.make_ctx_mesh(args.context_parallel)
+    else:
+        mesh = mesh_lib.make_mesh()
     logger.info(
         "mesh: %d devices x %d processes", mesh.devices.size, jax.process_count()
     )

@@ -44,9 +44,10 @@ def loss_fn(
     train_cfg: TrainConfig,
     batch: TokenizerBatch,
     rng: jax.Array,
+    mesh=None,
 ):
     decoded, quant = vq3d.forward(
-        params, model_cfg, batch, is_training=True, compute_usage=True
+        params, model_cfg, batch, is_training=True, compute_usage=True, mesh=mesh
     )
     losses = structure_loss(
         train_cfg.loss, decoded, batch.features, batch.graph.nodes_mask, rng
@@ -63,10 +64,19 @@ def loss_fn(
 
 def make_train_step(model_cfg: Vq3dConfig, train_cfg: TrainConfig, mesh):
     """Build the jitted sharded train step: (params, opt_state, batch, rng)
-    -> (params, opt_state, metrics)."""
+    -> (params, opt_state, metrics).
+
+    A mesh with a "ctx" axis (parallel/cp.py) row-shards the quadratic
+    tensors — the encoder edge table, the pair track, the IPA logits — in
+    BOTH the forward and (by AD transposition of the sharded ops) the
+    backward pass: per-chip activation memory for the pair track scales
+    1/ctx, the binding constraint for long-chain training."""
+    from protein_structure_tokenizer_tpu.parallel import cp
+
     optimizer = make_optimizer(train_cfg)
     replicated = mesh_lib.replicated_sharding(mesh)
     batch_shard = mesh_lib.batch_sharding(mesh)
+    model_mesh = mesh if cp.has_ctx_axis(mesh) else None
 
     @functools.partial(
         jax.jit,
@@ -76,7 +86,9 @@ def make_train_step(model_cfg: Vq3dConfig, train_cfg: TrainConfig, mesh):
     )
     def train_step(params, opt_state, batch, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, metrics), grads = grad_fn(params, model_cfg, train_cfg, batch, rng)
+        (_, metrics), grads = grad_fn(
+            params, model_cfg, train_cfg, batch, rng, mesh=model_mesh
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics

@@ -187,3 +187,34 @@ def test_save_every_gate(tmp_path):
     mgr.wait()
     assert mgr.latest_step() == 10
     mgr.close()
+
+
+def test_context_parallel_train_step_matches(corpus_dir):
+    """ctx-mesh training (quadratic tensors row-sharded over 'ctx') computes
+    the same loss/grad-update as plain data-parallel training: cp.constrain
+    only annotates shardings, so forward AND backward numerics are unchanged."""
+    from protein_structure_tokenizer_tpu.parallel import cp
+
+    cfg = tiny_preset(seq_max=SEQ_MAX, k=K, downsampling=DF, dim=16)
+    train_cfg = TrainConfig(learning_rate=3e-4)
+    ds = StructureDataset.from_dir(corpus_dir, DatasetConfig(featurize=featurize_config()))
+    key = jax.random.PRNGKey(7)
+
+    results = []
+    for mesh in (mesh_lib.make_mesh(), cp.make_ctx_mesh(4)):
+        params, opt_state = init_train_state(jax.random.PRNGKey(3), cfg, train_cfg, mesh)
+        train_step, _ = make_train_step(cfg, train_cfg, mesh)
+        batch = mesh_lib.shard_batch(mesh, next(ds.batches(global_batch=8)))
+        params, opt_state, metrics = train_step(params, opt_state, batch, key)
+        params, _, metrics2 = train_step(params, opt_state, batch, key)
+        results.append((jax.device_get(params), float(metrics["loss"]), float(metrics2["loss"])))
+
+    (p_dp, l_dp, l2_dp), (p_cp, l_cp, l2_cp) = results
+    assert np.isfinite(l_cp)
+    np.testing.assert_allclose(l_cp, l_dp, rtol=1e-5)
+    np.testing.assert_allclose(l2_cp, l2_dp, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5),
+        p_dp,
+        p_cp,
+    )
