@@ -62,6 +62,10 @@ def main(argv=None) -> None:
     parser.add_argument("--embed_dim", type=int, default=None)
     parser.add_argument("--num_heads", type=int, default=None)
     parser.add_argument("--block_size", type=int, default=None)
+    parser.add_argument("--num_experts", type=int, default=0,
+                        help="MoE architecture override (cli.train_lm MoE LMs)")
+    parser.add_argument("--num_selected_experts", type=int, default=2)
+    parser.add_argument("--moe_layer_stride", type=int, default=1)
     parser.add_argument("--no_cache", action="store_true",
                         help="reference-equivalent full-forward sampling")
     parser.add_argument("--backend", type=str, default=None,
@@ -89,6 +93,10 @@ def main(argv=None) -> None:
         overrides["num_heads"] = args.num_heads
     if args.block_size is not None:
         overrides["max_position_embeddings"] = args.block_size
+    if args.num_experts:
+        overrides["num_experts"] = args.num_experts
+        overrides["num_selected_experts"] = args.num_selected_experts
+        overrides["moe_layer_stride"] = args.moe_layer_stride
     if overrides:
         import dataclasses
 

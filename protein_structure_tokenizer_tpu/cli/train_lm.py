@@ -33,6 +33,7 @@ from protein_structure_tokenizer_tpu.runtime.train_checkpoint import TrainCheckp
 from protein_structure_tokenizer_tpu.runtime.train_lm import (
     LmTrainConfig,
     TokenSequenceDataset,
+    init_ep_train_state,
     init_pp_train_state,
     init_tp_train_state,
     init_train_state,
@@ -74,6 +75,17 @@ def parse_args(argv=None):
     p.add_argument("--sequence_parallel", action="store_true",
                    help="With --tensor_parallel: T-shard the residual stream "
                    "between blocks (Megatron-SP)")
+    p.add_argument("--num_experts", type=int, default=0,
+                   help="Mixture-of-experts: swap the MLP of every "
+                   "--moe_layer_stride-th block for a top-k-routed MoE "
+                   "(framework extension; the released GPT is dense)")
+    p.add_argument("--num_selected_experts", type=int, default=2,
+                   help="Experts per token (top-k routing)")
+    p.add_argument("--moe_layer_stride", type=int, default=1,
+                   help="Place an MoE MLP every k-th block (last block always)")
+    p.add_argument("--expert_parallel", type=int, default=1,
+                   help="Shard the stacked expert weights over an "
+                   "('data','expert') mesh axis (requires --num_experts)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=20)
@@ -105,6 +117,10 @@ def main(argv=None) -> None:
         overrides["num_heads"] = args.num_heads
     if args.block_size is not None:
         overrides["max_position_embeddings"] = args.block_size
+    if args.num_experts:
+        overrides["num_experts"] = args.num_experts
+        overrides["num_selected_experts"] = args.num_selected_experts
+        overrides["moe_layer_stride"] = args.moe_layer_stride
     if overrides:
         import dataclasses
 
@@ -119,12 +135,21 @@ def main(argv=None) -> None:
     )
     use_pp = args.pipeline_parallel > 1
     use_tp = args.tensor_parallel > 1
-    if use_pp and use_tp:
-        raise SystemExit("--pipeline_parallel and --tensor_parallel are exclusive")
+    use_ep = args.expert_parallel > 1
+    if sum([use_pp, use_tp, use_ep]) > 1:
+        raise SystemExit(
+            "--pipeline_parallel, --tensor_parallel and --expert_parallel "
+            "are mutually exclusive"
+        )
     if args.sequence_parallel and not use_tp:
         raise SystemExit("--sequence_parallel requires --tensor_parallel > 1")
     if args.num_microbatches is not None and not use_pp:
         raise SystemExit("--num_microbatches requires --pipeline_parallel > 1")
+    if use_ep and not args.num_experts:
+        raise SystemExit("--expert_parallel requires --num_experts > 0")
+    if use_pp and args.num_experts:
+        raise SystemExit("MoE (--num_experts) is not supported with "
+                         "--pipeline_parallel; use --expert_parallel")
     if use_pp:
         from protein_structure_tokenizer_tpu.parallel import pp
 
@@ -134,6 +159,10 @@ def main(argv=None) -> None:
         from protein_structure_tokenizer_tpu.parallel import tp
 
         mesh = tp.make_2d_mesh(args.tensor_parallel)
+    elif use_ep:
+        from protein_structure_tokenizer_tpu.parallel import ep
+
+        mesh = ep.make_ep_mesh(args.expert_parallel)
     else:
         mesh = mesh_lib.make_mesh()
 
@@ -142,6 +171,8 @@ def main(argv=None) -> None:
         params, opt_state = init_pp_train_state(key, cfg, train_cfg, mesh)
     elif use_tp:
         params, opt_state = init_tp_train_state(key, cfg, train_cfg, mesh)
+    elif use_ep:
+        params, opt_state = init_ep_train_state(key, cfg, train_cfg, mesh)
     else:
         params, opt_state = init_train_state(key, cfg, train_cfg, mesh)
 

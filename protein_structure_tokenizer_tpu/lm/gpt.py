@@ -50,6 +50,14 @@ class GptConfig:
     bos_token_id: int = 0
     eos_token_id: int = 1
     pad_token_id: int = 2
+    # Mixture-of-experts (framework extension — the reference LM is dense).
+    # num_experts > 0 swaps the MLP of every ``moe_layer_stride``-th block for
+    # a top-k-routed MoE (lm/moe.py); experts shard over the "expert" mesh
+    # axis (parallel/ep.py).
+    num_experts: int = 0
+    num_selected_experts: int = 2
+    expert_capacity_factor: float = 1.25
+    moe_layer_stride: int = 1
 
     def __post_init__(self):
         # Mirrors the reference's GptConfig validation (gpt_model.py:100-121).
@@ -58,6 +66,14 @@ class GptConfig:
                 f"embed_dim ({self.embed_dim}) must be divisible by num_heads "
                 f"({self.num_heads})"
             )
+        if self.num_experts:
+            if self.num_selected_experts < 1 or self.num_selected_experts > self.num_experts:
+                raise ValueError(
+                    f"num_selected_experts ({self.num_selected_experts}) must be "
+                    f"in [1, num_experts={self.num_experts}]"
+                )
+            if self.moe_layer_stride < 1:
+                raise ValueError("moe_layer_stride must be >= 1")
         if self.rope_dimensions is not None:
             if self.rope_dimensions <= 0 or self.rope_dimensions % 2 != 0:
                 raise ValueError("rope_dimensions must be a positive even number")
@@ -70,6 +86,13 @@ class GptConfig:
     @property
     def key_size(self) -> int:
         return self.embed_dim // self.num_heads
+
+    def is_moe_layer(self, i: int) -> bool:
+        """Every ``moe_layer_stride``-th block (aligned so the LAST block is
+        always MoE) carries the expert MLP."""
+        if not self.num_experts:
+            return False
+        return (self.num_layers - 1 - i) % self.moe_layer_stride == 0
 
 
 def released_gpt_config(codebook_size: int) -> GptConfig:
@@ -194,29 +217,52 @@ def decoder_layer(
     kv_cache: Optional[dict] = None,
     cache_index: Optional[jax.Array] = None,
     mesh: Optional[Mesh] = None,
-) -> tuple[jax.Array, Optional[dict]]:
+) -> tuple[jax.Array, Optional[dict], dict]:
+    """Returns (x, kv_cache, aux); aux carries MoE load-balance/z losses and
+    is empty ({}) on dense layers."""
     act = _activation(cfg.ffn_activation)
     hidden_spec = P(tp.DATA_AXIS, None, tp.MODEL_AXIS)
+    aux: dict = {}
 
-    def mlp(h):
-        if cfg.use_glu_in_ffn:
-            glu_p = p["fc1_linear_glu"]
-            if "w_gate" in glu_p:
-                # Tensor-parallel placement (tp.shard_gpt_params) stores the
-                # two GLU halves as separate column-sharded leaves: the global
-                # halves of the fused (E, 2F) weight would each span only half
-                # the "model" axis and force a reshard before the elementwise
-                # product.
-                x1 = jnp.matmul(h, glu_p["w_gate"], preferred_element_type=h.dtype)
-                x2 = jnp.matmul(h, glu_p["w_value"], preferred_element_type=h.dtype)
-                x1 = tp.constrain(x1, mesh, hidden_spec)
-                x2 = tp.constrain(x2, mesh, hidden_spec)
+    if "moe/router" in p:
+        from protein_structure_tokenizer_tpu.lm import moe as moe_lib
+
+        moe_p = subtree(p, "moe")
+
+        def mlp(h):
+            y, moe_aux = moe_lib.moe_mlp(
+                moe_p,
+                h,
+                num_experts=cfg.num_experts,
+                num_selected=cfg.num_selected_experts,
+                capacity_factor=cfg.expert_capacity_factor,
+                activation=act,
+                use_glu=cfg.use_glu_in_ffn,
+                mesh=mesh,
+            )
+            aux.update(moe_aux)
+            return y
+
+    else:
+        def mlp(h):
+            if cfg.use_glu_in_ffn:
+                glu_p = p["fc1_linear_glu"]
+                if "w_gate" in glu_p:
+                    # Tensor-parallel placement (tp.shard_gpt_params) stores
+                    # the two GLU halves as separate column-sharded leaves:
+                    # the global halves of the fused (E, 2F) weight would
+                    # each span only half the "model" axis and force a
+                    # reshard before the elementwise product.
+                    x1 = jnp.matmul(h, glu_p["w_gate"], preferred_element_type=h.dtype)
+                    x2 = jnp.matmul(h, glu_p["w_value"], preferred_element_type=h.dtype)
+                    x1 = tp.constrain(x1, mesh, hidden_spec)
+                    x2 = tp.constrain(x2, mesh, hidden_spec)
+                else:
+                    x1, x2 = jnp.split(linear(glu_p, h), 2, axis=-1)
+                h = act(x1) * x2
             else:
-                x1, x2 = jnp.split(linear(glu_p, h), 2, axis=-1)
-            h = act(x1) * x2
-        else:
-            h = tp.constrain(act(linear(p["fc1_linear"], h)), mesh, hidden_spec)
-        return linear(p["fc2_linear"], h)
+                h = tp.constrain(act(linear(p["fc1_linear"], h)), mesh, hidden_spec)
+            return linear(p["fc2_linear"], h)
 
     if cfg.parallel_attention_ff:
         normed = _norm(p, cfg, "attn", x)
@@ -224,7 +270,7 @@ def decoder_layer(
             subtree(p, "self_attn/~"), cfg, normed, attention_mask, kv_cache,
             cache_index, mesh=mesh,
         )
-        return x + attn_out + mlp(normed), kv_cache
+        return x + attn_out + mlp(normed), kv_cache, aux
 
     normed = _norm(p, cfg, "attn", x)
     attn_out, kv_cache = attention(
@@ -233,7 +279,7 @@ def decoder_layer(
     )
     x = x + attn_out
     x = x + mlp(_norm(p, cfg, "ffn", x))
-    return x, kv_cache
+    return x, kv_cache, aux
 
 
 def build_causal_mask(batch: int, seq_len: int) -> jax.Array:
@@ -265,11 +311,14 @@ def forward(
         x = tp.constrain(x, mesh, tp.SP_SPEC)
     if attention_mask is None:
         attention_mask = build_causal_mask(1, x.shape[1])
+    moe_aux: dict = {}
     for i in range(cfg.num_layers):
-        x, _ = decoder_layer(
+        x, _, aux = decoder_layer(
             subtree(p, f"gpt_decoder_layer_{i}/~"), cfg, x, attention_mask,
             mesh=mesh,
         )
+        for k, v in aux.items():
+            moe_aux[k] = moe_aux.get(k, 0.0) + v
         if sp:
             x = tp.constrain(x, mesh, tp.SP_SPEC)
     if cfg.norm_type == "layer_norm":
@@ -277,7 +326,12 @@ def forward(
     else:
         x = rms_norm(p["~/final_RMS_norm"], x)
     logits = linear(p["~/simple_lm_head/~/lm_final_fc"], x)
-    return {"embeddings": x, "logits": logits}
+    out = {"embeddings": x, "logits": logits}
+    if moe_aux:
+        # Mean over the MoE layers so loss weights are depth-independent.
+        n_moe = sum(cfg.is_moe_layer(i) for i in range(cfg.num_layers))
+        out.update({k: v / n_moe for k, v in moe_aux.items()})
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -319,7 +373,7 @@ def forward_step(
 
     new_cache = []
     for i in range(cfg.num_layers):
-        x, layer_cache = decoder_layer(
+        x, layer_cache, _ = decoder_layer(
             subtree(p, f"gpt_decoder_layer_{i}/~"),
             cfg,
             x,
@@ -365,12 +419,25 @@ def init(key, cfg: GptConfig) -> Params:
             params[f"{base}/self_attn/~/{name}"] = {
                 "w": variance_scaling_truncated_fan_in(kk_, (cfg.embed_dim, cfg.embed_dim))
             }
-        params[f"{base}/{fc1_name}"] = {
-            "w": variance_scaling_truncated_fan_in(k1, (cfg.embed_dim, ffn_out))
-        }
-        params[f"{base}/fc2_linear"] = {
-            "w": variance_scaling_truncated_fan_in(k2, (cfg.ffn_embed_dim, cfg.embed_dim))
-        }
+        if cfg.is_moe_layer(i):
+            from protein_structure_tokenizer_tpu.lm import moe as moe_lib
+
+            moe_params = moe_lib.init_moe_params(
+                k1,
+                num_experts=cfg.num_experts,
+                embed_dim=cfg.embed_dim,
+                ffn_dim=cfg.ffn_embed_dim,
+                use_glu=cfg.use_glu_in_ffn,
+            )
+            for sub_scope, leaves in moe_params.items():
+                params[f"{base}/moe/{sub_scope}"] = leaves
+        else:
+            params[f"{base}/{fc1_name}"] = {
+                "w": variance_scaling_truncated_fan_in(k1, (cfg.embed_dim, ffn_out))
+            }
+            params[f"{base}/fc2_linear"] = {
+                "w": variance_scaling_truncated_fan_in(k2, (cfg.ffn_embed_dim, cfg.embed_dim))
+            }
         if cfg.norm_type == "layer_norm":
             params[f"{base}/attn_layer_norm"] = {
                 "scale": jnp.ones((cfg.embed_dim,)),

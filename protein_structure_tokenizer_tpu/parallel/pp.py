@@ -143,7 +143,7 @@ def _local_layers(stage_params: dict, cfg: gpt.GptConfig, x, mask):
     """Scan this stage's (L/S, ...) stacked layers over the activation."""
 
     def body(h, layer_p):
-        h, _ = gpt.decoder_layer(layer_p, cfg, h, mask)
+        h, _, _ = gpt.decoder_layer(layer_p, cfg, h, mask)
         return h, None
 
     x, _ = jax.lax.scan(body, x, stage_params)
@@ -201,6 +201,12 @@ def make_pp_forward(cfg: gpt.GptConfig, mesh: Mesh, num_microbatches: int):
         raise ValueError(
             f"num_layers={cfg.num_layers} not divisible by pipe={n_pipe}"
         )
+    if cfg.num_experts:
+        raise NotImplementedError(
+            "pipeline parallelism does not support MoE layers (the GPipe "
+            "stage scan would drop the load-balance aux loss); use expert "
+            "parallelism (parallel/ep.py) for MoE GPTs"
+        )
 
     body = _shard_map(
         functools.partial(_pp_logits_local, cfg, n_pipe),
@@ -239,6 +245,12 @@ def make_pp_loss_fn(
     if cfg.num_layers % n_pipe:
         raise ValueError(
             f"num_layers={cfg.num_layers} not divisible by pipe={n_pipe}"
+        )
+    if cfg.num_experts:
+        raise NotImplementedError(
+            "pipeline parallelism does not support MoE layers (the GPipe "
+            "stage scan would drop the load-balance aux loss); use expert "
+            "parallelism (parallel/ep.py) for MoE GPTs"
         )
 
     def local(stages, rest, inputs, targets):

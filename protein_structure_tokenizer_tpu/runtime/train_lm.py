@@ -35,6 +35,9 @@ class LmTrainConfig:
     warmup_steps: int = 100
     total_steps: int = 10000  # cosine decay horizon
     label_smoothing: float = 0.0
+    # MoE aux-loss weights (only active when the model has expert layers).
+    moe_lb_loss_weight: float = 0.01
+    moe_z_loss_weight: float = 1e-3
 
 
 def make_optimizer(cfg: LmTrainConfig) -> optax.GradientTransformation:
@@ -61,11 +64,13 @@ def lm_loss(
     mesh=None,
     sequence_parallel: bool = False,
 ) -> Tuple[jax.Array, dict]:
-    """Next-token cross-entropy with pad positions masked out."""
+    """Next-token cross-entropy with pad positions masked out.  MoE models
+    additionally pay the router load-balance + z losses (lm/moe.py)."""
     inputs, targets = tokens[:, :-1], tokens[:, 1:]
-    logits = gpt.forward(
+    fwd = gpt.forward(
         params, model_cfg, inputs, mesh=mesh, sequence_parallel=sequence_parallel
-    )["logits"]
+    )
+    logits = fwd["logits"]
     mask = (targets != model_cfg.pad_token_id).astype(jnp.float32)
     if train_cfg.label_smoothing > 0:
         onehot = jax.nn.one_hot(targets, model_cfg.vocab_size)
@@ -74,14 +79,21 @@ def lm_loss(
     else:
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
     denom = jnp.maximum(mask.sum(), 1.0)
-    loss = (ce * mask).sum() / denom
+    ce_loss = (ce * mask).sum() / denom
     accuracy = ((jnp.argmax(logits, -1) == targets) * mask).sum() / denom
-    return loss, {
-        "loss": loss,
-        "perplexity": jnp.exp(loss),
+    loss = ce_loss
+    metrics = {
+        "perplexity": jnp.exp(ce_loss),
         "accuracy": accuracy,
         "tokens": mask.sum(),
     }
+    if "moe_lb_loss" in fwd:
+        loss = loss + train_cfg.moe_lb_loss_weight * fwd["moe_lb_loss"]
+        loss = loss + train_cfg.moe_z_loss_weight * fwd["moe_z_loss"]
+        metrics["moe_lb_loss"] = fwd["moe_lb_loss"]
+        metrics["moe_z_loss"] = fwd["moe_z_loss"]
+    metrics["loss"] = loss
+    return loss, metrics
 
 
 def make_train_step(
@@ -95,19 +107,21 @@ def make_train_step(
     the blocks run tensor-parallel (params pre-placed by shard_gpt_params,
     shardings inherited from the arguments) and ``sequence_parallel``
     additionally T-shards the residual stream (Megatron-SP)."""
-    from protein_structure_tokenizer_tpu.parallel import tp
+    from protein_structure_tokenizer_tpu.parallel import ep, tp
 
     optimizer = make_optimizer(train_cfg)
     batch_shard = mesh_lib.batch_sharding(mesh)
     tensor_parallel = tp.has_model_axis(mesh)
-    # Tensor-parallel params carry their own (column/row) shardings; only
-    # pure data-parallel pins everything replicated explicitly.
-    state_shardings = None if tensor_parallel else mesh_lib.replicated_sharding(mesh)
+    expert_parallel = ep.has_expert_axis(mesh)
+    # Tensor-/expert-parallel params carry their own shardings; only pure
+    # data-parallel pins everything replicated explicitly.
+    sharded_params = tensor_parallel or expert_parallel
+    state_shardings = None if sharded_params else mesh_lib.replicated_sharding(mesh)
 
     def loss_fn(params, tokens):
         return lm_loss(
             params, model_cfg, train_cfg, tokens,
-            mesh=mesh if tensor_parallel else None,
+            mesh=mesh if sharded_params else None,
             sequence_parallel=sequence_parallel,
         )
 
@@ -198,6 +212,21 @@ def init_pp_train_state(
     pp_params = pp.place_pp_params(params, model_cfg, mesh)
     opt_state = _place_stray_opt_leaves(make_optimizer(train_cfg).init(pp_params), mesh)
     return pp_params, opt_state
+
+
+def init_ep_train_state(
+    key: jax.Array,
+    model_cfg: gpt.GptConfig,
+    train_cfg: LmTrainConfig,
+    mesh,
+) -> Tuple[Params, optax.OptState]:
+    """Expert-parallel MoE training state on a ("data", "expert") mesh:
+    stacked expert weights (and their adam moments) shard over "expert"."""
+    from protein_structure_tokenizer_tpu.parallel import ep
+
+    params = ep.shard_moe_params(gpt.init(key, model_cfg), mesh)
+    opt_state = _place_stray_opt_leaves(make_optimizer(train_cfg).init(params), mesh)
+    return params, opt_state
 
 
 def init_tp_train_state(
