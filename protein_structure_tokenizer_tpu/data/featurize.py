@@ -82,10 +82,17 @@ def compute_knn_graph(
     if num_residues <= num_neighbor:
         num_neighbor = num_residues
 
-    pts = atom_centroids
     if noise_level > 0:
-        pts = pts + np.random.normal(0, noise_level)
-    dist = spa.distance.cdist(pts, pts)
+        # Reference quirk (protein_utils.py:379-383): TWO independent SCALAR
+        # draws, one per cdist side — the distance matrix is offset by the
+        # constant vector (a-b)·(1,1,1), not per-point jitter.  Replicated
+        # verbatim; released configs set noise_level 0.
+        dist = spa.distance.cdist(
+            atom_centroids + np.random.normal(0, noise_level),
+            atom_centroids + np.random.normal(0, noise_level),
+        )
+    else:
+        dist = spa.distance.cdist(atom_centroids, atom_centroids)
 
     if num_neighbor == num_residues:
         src = np.argsort(dist, axis=-1)  # fully connected incl. self

@@ -167,3 +167,47 @@ def test_protein_from_pdb_string_hetatm_and_altloc():
     np.testing.assert_allclose(prot.atom_positions[0, ca], [2.0, 0.0, 0.0])
     # SE is outside the atom37 vocabulary; N/CA of the MSE residue kept.
     assert prot.atom_mask[1].sum() == 2
+
+
+@requires_reference
+def test_noise_level_matches_reference():
+    """noise_level>0 replicates the reference's quirk: two independent SCALAR
+    draws (one per cdist side), so the kNN selection and RBF features shift by
+    a constant offset — NOT per-point jitter (protein_utils.py:379-383).
+    Matched by seeding the global numpy RNG both sides."""
+    from refmodel import import_reference
+
+    import_reference()
+    from structure_tokenizer.data.preprocessing import preprocess_sample as ref_pre
+    from structure_tokenizer.data.protein_structure_sample import ProteinStructureSample
+
+    pdb = CASP14[0]
+    ours_sample = parse_pdb_file(pdb)
+    ref_sample = ProteinStructureSample(
+        chain_id=None,
+        nb_residues=ours_sample.nb_residues,
+        aatype=ours_sample.aatype,
+        atom37_positions=ours_sample.atom37_positions,
+        atom37_gt_exists=ours_sample.atom37_gt_exists,
+        atom37_atom_exists=ours_sample.atom37_atom_exists,
+        resolution=0.0,
+        pdb_cluster_size=1,
+    )
+    np.random.seed(1234)
+    ref_batch = ref_pre(
+        sample=ref_sample,
+        num_neighbor=50,
+        downsampling_ratio=1,
+        residue_loc_is_alphac=True,
+        padding_num_residue=512,
+        crop_index=512,
+        noise_level=2.0,
+    )
+    np.random.seed(1234)
+    graph, _ = preprocess_sample(
+        ours_sample, FeaturizeConfig(noise_level=2.0)
+    )
+    np.testing.assert_array_equal(graph.senders, np.asarray(ref_batch.graph.senders))
+    np.testing.assert_allclose(
+        graph.edge_features, np.asarray(ref_batch.graph.edge_features), atol=1e-6
+    )
