@@ -35,6 +35,7 @@ from protein_structure_tokenizer_tpu.models.config import preset
 from protein_structure_tokenizer_tpu.models.losses import FapeConfig, LossConfig
 from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
 from protein_structure_tokenizer_tpu.runtime import checkpoints
+from protein_structure_tokenizer_tpu.runtime.preemption import GracefulPreemption
 from protein_structure_tokenizer_tpu.runtime.dataset import DatasetConfig, StructureDataset
 from protein_structure_tokenizer_tpu.runtime.train import (
     TrainConfig,
@@ -148,29 +149,40 @@ def main(argv=None) -> None:
     )
 
     t0 = time.perf_counter()
-    for step in range(start_step, args.num_steps):
-        batch = mesh_lib.shard_batch_from_local(mesh, next(stream), global_batch)
-        key, step_key = jax.random.split(key)
-        params, opt_state, metrics = train_step(params, opt_state, batch, step_key)
-        if step % args.log_every == 0 or step == args.num_steps - 1:
-            metrics = jax.device_get(metrics)
-            dt = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            logger.info(
-                "step %d | loss %.4f | bb_fape %.4f | sc_fape %.4f | ppl %.1f | %.2fs",
-                step,
-                float(metrics["loss"]),
-                float(metrics["backbone_fape"]),
-                float(metrics["sidechain_fape"]),
-                float(metrics.get("codebook_perplexity", np.nan)),
-                dt,
-            )
-            if not np.isfinite(float(metrics["loss"])):
-                raise FloatingPointError(f"non-finite loss at step {step}")
-        ckpt.save(step, params, opt_state, key)
+    last_step = start_step
+    with GracefulPreemption() as pre:
+        for step in range(start_step, args.num_steps):
+            last_step = step
+            batch = mesh_lib.shard_batch_from_local(mesh, next(stream), global_batch)
+            key, step_key = jax.random.split(key)
+            params, opt_state, metrics = train_step(params, opt_state, batch, step_key)
+            if step % args.log_every == 0 or step == args.num_steps - 1:
+                metrics = jax.device_get(metrics)
+                dt = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                logger.info(
+                    "step %d | loss %.4f | bb_fape %.4f | sc_fape %.4f | ppl %.1f | %.2fs",
+                    step,
+                    float(metrics["loss"]),
+                    float(metrics["backbone_fape"]),
+                    float(metrics["sidechain_fape"]),
+                    float(metrics.get("codebook_perplexity", np.nan)),
+                    dt,
+                )
+                if not np.isfinite(float(metrics["loss"])):
+                    raise FloatingPointError(f"non-finite loss at step {step}")
+            ckpt.save(step, params, opt_state, key)
+            if pre.should_stop:
+                logger.warning("preempted: checkpointing step %d and exiting", step)
+                break
 
-    ckpt.save(args.num_steps - 1, params, opt_state, key, force=True)
+    ckpt.save(last_step, params, opt_state, key, force=True)
     ckpt.wait()
+    if pre.should_stop:
+        ckpt.close()
+        logger.info("preemption checkpoint complete at step %d; resume with "
+                     "the same --checkpoint_dir", last_step)
+        return
     if args.export_params and jax.process_index() == 0:
         host_params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
         checkpoints.save_params(host_params, args.export_params)

@@ -29,6 +29,7 @@ from protein_structure_tokenizer_tpu.cli.common import (
 )
 from protein_structure_tokenizer_tpu.lm import gpt
 from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+from protein_structure_tokenizer_tpu.runtime.preemption import GracefulPreemption
 from protein_structure_tokenizer_tpu.runtime.train_checkpoint import TrainCheckpointManager
 from protein_structure_tokenizer_tpu.runtime.train_lm import (
     LmTrainConfig,
@@ -208,23 +209,34 @@ def main(argv=None) -> None:
     )
 
     t0 = time.perf_counter()
-    for step in range(start_step, args.num_steps):
-        tokens = mesh_lib.shard_batch_from_local(mesh, next(stream), global_batch)
-        params, opt_state, metrics = train_step(params, opt_state, tokens)
-        if step % args.log_every == 0 or step == args.num_steps - 1:
-            metrics = jax.device_get(metrics)
-            dt, t0 = time.perf_counter() - t0, time.perf_counter()
-            logger.info(
-                "step %d | loss %.4f | ppl %.1f | acc %.3f | %.2fs",
-                step, float(metrics["loss"]), float(metrics["perplexity"]),
-                float(metrics.get("accuracy", np.nan)), dt,
-            )
-            if not np.isfinite(float(metrics["loss"])):
-                raise FloatingPointError(f"non-finite loss at step {step}")
-        ckpt.save(step, params, opt_state, key)
+    last_step = start_step
+    with GracefulPreemption() as pre:
+        for step in range(start_step, args.num_steps):
+            last_step = step
+            tokens = mesh_lib.shard_batch_from_local(mesh, next(stream), global_batch)
+            params, opt_state, metrics = train_step(params, opt_state, tokens)
+            if step % args.log_every == 0 or step == args.num_steps - 1:
+                metrics = jax.device_get(metrics)
+                dt, t0 = time.perf_counter() - t0, time.perf_counter()
+                logger.info(
+                    "step %d | loss %.4f | ppl %.1f | acc %.3f | %.2fs",
+                    step, float(metrics["loss"]), float(metrics["perplexity"]),
+                    float(metrics.get("accuracy", np.nan)), dt,
+                )
+                if not np.isfinite(float(metrics["loss"])):
+                    raise FloatingPointError(f"non-finite loss at step {step}")
+            ckpt.save(step, params, opt_state, key)
+            if pre.should_stop:
+                logger.warning("preempted: checkpointing step %d and exiting", step)
+                break
 
-    ckpt.save(args.num_steps - 1, params, opt_state, key, force=True)
+    ckpt.save(last_step, params, opt_state, key, force=True)
     ckpt.wait()
+    if pre.should_stop:
+        ckpt.close()
+        logger.info("preemption checkpoint complete at step %d; resume with "
+                     "the same --checkpoint_dir", last_step)
+        return
     if args.export_params and jax.process_index() == 0:
         if use_pp:
             from protein_structure_tokenizer_tpu.parallel import pp
