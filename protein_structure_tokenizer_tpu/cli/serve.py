@@ -1,0 +1,86 @@
+"""Serve the tokenizer (and optionally the token GPT) over HTTP.
+
+Always-on inference with continuous micro-batching (runtime/server.py) — the
+capability the reference's run-once scripts lack.  One static-shape jitted
+executable per op; concurrent requests ride shared device dispatches.
+
+Usage:
+  python -m protein_structure_tokenizer_tpu.cli.serve \
+      --codebook_size 4096 --model_downsampling 1 --weights weights/4k_df_1 \
+      --port 8000 --max_batch 16 --max_wait_ms 10 \
+      [--gpt_weights gpt/params.joblib]
+
+  curl -X POST --data-binary @T1024.pdb localhost:8000/tokenize
+  curl -X POST -d '{"tokens": [1, 2, 3]}' localhost:8000/decode
+  curl -X POST -d '{"num_sequences": 2}' localhost:8000/generate
+  curl localhost:8000/stats
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+from protein_structure_tokenizer_tpu.cli.common import (
+    add_model_args,
+    build_runner,
+    setup_logging,
+)
+from protein_structure_tokenizer_tpu.runtime.server import (
+    BatchingEngine,
+    InferenceServer,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None) -> None:
+    setup_logging()
+    parser = argparse.ArgumentParser(description="Serve tokenize/decode/generate")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max_batch", type=int, default=16,
+                        help="Static device batch (requests per dispatch cap)")
+    parser.add_argument("--max_wait_ms", type=float, default=10.0,
+                        help="Batching window opened by the first request")
+    parser.add_argument("--gpt_weights", type=str, default=None,
+                        help="GPT params.joblib to enable POST /generate")
+    add_model_args(parser)
+    args = parser.parse_args(argv)
+
+    runner = build_runner(args)
+    engine = BatchingEngine(
+        runner, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+
+    gpt_params = gpt_config = None
+    if args.gpt_weights:
+        import joblib
+
+        from protein_structure_tokenizer_tpu.lm import gpt
+
+        gpt_config = gpt.released_gpt_config(args.codebook_size)
+        gpt_params = joblib.load(args.gpt_weights)
+        logger.info("loaded GPT weights from %s", args.gpt_weights)
+
+    server = InferenceServer(
+        engine,
+        host=args.host,
+        port=args.port,
+        gpt_params=gpt_params,
+        gpt_config=gpt_config,
+    )
+    logger.info(
+        "serving %s/df%d on %s:%d (max_batch=%d, window=%.1fms)",
+        args.codebook_size, args.model_downsampling, args.host, server.port,
+        engine.max_batch, args.max_wait_ms,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+    finally:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()
