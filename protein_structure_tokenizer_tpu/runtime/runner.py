@@ -93,6 +93,17 @@ def collate_graphs(graph_dicts: Sequence[dict]) -> ProteinGraphBatch:
     )
 
 
+def _make_output_dir(path: str) -> None:
+    """Reference semantics — refuse an EXISTING output dir
+    (inference_runner.py:265) — made multi-host safe: only process 0
+    enforces the check (before creating), every other process tolerates the
+    dir whether it races in before or after process 0 (a process>0 creating
+    it first must not kill process 0 mid-collective)."""
+    if jax.process_index() == 0 and os.path.exists(path):
+        raise FileExistsError(f"output dir already exists: {path}")
+    os.makedirs(path, exist_ok=True)
+
+
 class InferenceRunner:
     """Sharded tokenizer inference over a data-parallel mesh."""
 
@@ -271,10 +282,7 @@ class InferenceRunner:
         stage sequentially (inference_runner.py:286-306).
         """
         if token_save_path is not None:
-            # Reference semantics: refuse to overwrite an existing output dir
-            # (inference_runner.py:265).  Only process 0 enforces it; other
-            # hosts race in after.
-            os.makedirs(token_save_path, exist_ok=jax.process_index() != 0)
+            _make_output_dir(token_save_path)
         timers = StageTimers()
 
         global_batch = mesh_lib.global_batch_size(self.mesh, batch_size_per_device)
@@ -393,7 +401,7 @@ class InferenceRunner:
         structure_dir = None
         if structure_save_path is not None:
             structure_dir = os.path.join(structure_save_path, "structures")
-            os.makedirs(structure_dir, exist_ok=False)
+            _make_output_dir(structure_dir)
 
         global_batch = mesh_lib.global_batch_size(self.mesh, batch_size_per_device)
         num_iterations = -(-len(token_files) // global_batch)
