@@ -35,6 +35,7 @@ from protein_structure_tokenizer_tpu.models.config import preset
 from protein_structure_tokenizer_tpu.models.losses import FapeConfig, LossConfig
 from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
 from protein_structure_tokenizer_tpu.runtime import checkpoints
+from protein_structure_tokenizer_tpu.runtime.metrics_log import MetricsLogger
 from protein_structure_tokenizer_tpu.runtime.preemption import GracefulPreemption
 from protein_structure_tokenizer_tpu.runtime.dataset import DatasetConfig, StructureDataset
 from protein_structure_tokenizer_tpu.runtime.train import (
@@ -74,6 +75,9 @@ def parse_args(argv=None):
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--max_to_keep", type=int, default=3)
+    p.add_argument("--metrics_file", type=str, default=None,
+                   help="Append per-log-step scalar metrics as JSONL "
+                   "(process 0 only)")
     p.add_argument("--num_workers", type=int, default=0,
                    help="Featurization worker processes (0 = inline)")
     p.add_argument("--no_cache", action="store_true",
@@ -148,6 +152,7 @@ def main(argv=None) -> None:
         len(dataset), global_batch, start_step,
     )
 
+    mlog = MetricsLogger(args.metrics_file)
     t0 = time.perf_counter()
     last_step = start_step
     with GracefulPreemption() as pre:
@@ -169,6 +174,7 @@ def main(argv=None) -> None:
                     float(metrics.get("codebook_perplexity", np.nan)),
                     dt,
                 )
+                mlog.log(step, metrics)
                 if not np.isfinite(float(metrics["loss"])):
                     raise FloatingPointError(f"non-finite loss at step {step}")
             ckpt.save(step, params, opt_state, key)
@@ -176,6 +182,7 @@ def main(argv=None) -> None:
                 logger.warning("preempted: checkpointing step %d and exiting", step)
                 break
 
+    mlog.close()
     ckpt.save(last_step, params, opt_state, key, force=True)
     ckpt.wait()
     if pre.should_stop:

@@ -29,6 +29,7 @@ from protein_structure_tokenizer_tpu.cli.common import (
 )
 from protein_structure_tokenizer_tpu.lm import gpt
 from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+from protein_structure_tokenizer_tpu.runtime.metrics_log import MetricsLogger
 from protein_structure_tokenizer_tpu.runtime.preemption import GracefulPreemption
 from protein_structure_tokenizer_tpu.runtime.train_checkpoint import TrainCheckpointManager
 from protein_structure_tokenizer_tpu.runtime.train_lm import (
@@ -91,6 +92,9 @@ def parse_args(argv=None):
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--max_to_keep", type=int, default=3)
+    p.add_argument("--metrics_file", type=str, default=None,
+                   help="Append per-log-step scalar metrics as JSONL "
+                   "(process 0 only)")
     p.add_argument("--export_params", type=str, default=None,
                    help="Write final params (.joblib for cli.gpt_generation)")
     p.add_argument("--backend", type=str, default=None,
@@ -208,6 +212,7 @@ def main(argv=None) -> None:
         len(dataset), global_batch, cfg.vocab_size, start_step,
     )
 
+    mlog = MetricsLogger(args.metrics_file)
     t0 = time.perf_counter()
     last_step = start_step
     with GracefulPreemption() as pre:
@@ -223,6 +228,7 @@ def main(argv=None) -> None:
                     step, float(metrics["loss"]), float(metrics["perplexity"]),
                     float(metrics.get("accuracy", np.nan)), dt,
                 )
+                mlog.log(step, metrics)
                 if not np.isfinite(float(metrics["loss"])):
                     raise FloatingPointError(f"non-finite loss at step {step}")
             ckpt.save(step, params, opt_state, key)
@@ -230,6 +236,7 @@ def main(argv=None) -> None:
                 logger.warning("preempted: checkpointing step %d and exiting", step)
                 break
 
+    mlog.close()
     ckpt.save(last_step, params, opt_state, key, force=True)
     ckpt.wait()
     if pre.should_stop:
