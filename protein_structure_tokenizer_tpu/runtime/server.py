@@ -25,6 +25,7 @@ Endpoints (JSON unless noted):
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import json
 import logging
@@ -61,10 +62,13 @@ class ServerStats:
     batches: int = 0
     batched_rows: int = 0
     errors: int = 0
-    latencies_ms: List[float] = dataclasses.field(default_factory=list)
+    # Bounded: an always-on server must not grow per-request state forever.
+    latencies_ms: "collections.deque[float]" = dataclasses.field(
+        default_factory=lambda: collections.deque(maxlen=4096)
+    )
 
     def snapshot(self) -> dict:
-        lat = sorted(self.latencies_ms[-4096:])
+        lat = sorted(self.latencies_ms)
 
         def pct(p):
             return round(lat[min(len(lat) - 1, int(p * len(lat)))], 2) if lat else None
