@@ -20,6 +20,8 @@ from __future__ import annotations
 import argparse
 import logging
 
+import jax
+
 from protein_structure_tokenizer_tpu.cli.common import (
     add_model_args,
     build_runner,
@@ -44,6 +46,15 @@ def main(argv=None) -> None:
                         help="Batching window opened by the first request")
     parser.add_argument("--gpt_weights", type=str, default=None,
                         help="GPT params.joblib to enable POST /generate")
+    # GPT architecture overrides matching cli.train_lm / cli.gpt_generation —
+    # a custom-trained LM's config must match its checkpoint.
+    parser.add_argument("--num_layers", type=int, default=None)
+    parser.add_argument("--embed_dim", type=int, default=None)
+    parser.add_argument("--num_heads", type=int, default=None)
+    parser.add_argument("--block_size", type=int, default=None)
+    parser.add_argument("--num_experts", type=int, default=0)
+    parser.add_argument("--num_selected_experts", type=int, default=2)
+    parser.add_argument("--moe_layer_stride", type=int, default=1)
     add_model_args(parser)
     args = parser.parse_args(argv)
 
@@ -59,7 +70,31 @@ def main(argv=None) -> None:
         from protein_structure_tokenizer_tpu.lm import gpt
 
         gpt_config = gpt.released_gpt_config(args.codebook_size)
+        overrides = {}
+        if args.num_layers is not None:
+            overrides["num_layers"] = args.num_layers
+        if args.embed_dim is not None:
+            overrides["embed_dim"] = args.embed_dim
+            overrides["ffn_embed_dim"] = 4 * args.embed_dim
+            if args.num_heads is None:
+                overrides["num_heads"] = max(1, args.embed_dim // 64)
+        if args.num_heads is not None:
+            overrides["num_heads"] = args.num_heads
+        if args.block_size is not None:
+            overrides["max_position_embeddings"] = args.block_size
+        if args.num_experts:
+            overrides["num_experts"] = args.num_experts
+            overrides["num_selected_experts"] = args.num_selected_experts
+            overrides["moe_layer_stride"] = args.moe_layer_stride
+        if overrides:
+            import dataclasses
+
+            gpt_config = dataclasses.replace(gpt_config, **overrides)
         gpt_params = joblib.load(args.gpt_weights)
+        # Fail at startup, not per-request, when config and weights disagree.
+        from protein_structure_tokenizer_tpu.utils.params import assert_compatible
+
+        assert_compatible(gpt.init(jax.random.PRNGKey(0), gpt_config), gpt_params)
         logger.info("loaded GPT weights from %s", args.gpt_weights)
 
     server = InferenceServer(

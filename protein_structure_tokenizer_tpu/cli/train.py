@@ -154,7 +154,7 @@ def main(argv=None) -> None:
 
     mlog = MetricsLogger(args.metrics_file)
     t0 = time.perf_counter()
-    last_step = start_step
+    last_step = None  # step that actually ran (None: resumed-complete rerun)
     with GracefulPreemption() as pre:
         for step in range(start_step, args.num_steps):
             last_step = step
@@ -183,7 +183,11 @@ def main(argv=None) -> None:
                 break
 
     mlog.close()
-    ckpt.save(last_step, params, opt_state, key, force=True)
+    if last_step is not None:
+        # Final checkpoint of the last step that ran; idempotent if the
+        # periodic gate already wrote it.  A rerun of a completed job runs
+        # no steps and must not invent checkpoints past the horizon.
+        ckpt.save(last_step, params, opt_state, key, force=True)
     ckpt.wait()
     if pre.should_stop:
         ckpt.close()

@@ -152,9 +152,10 @@ def main(argv=None) -> None:
         raise SystemExit("--num_microbatches requires --pipeline_parallel > 1")
     if use_ep and not args.num_experts:
         raise SystemExit("--expert_parallel requires --num_experts > 0")
-    if use_pp and args.num_experts:
+    if (use_pp or use_tp) and args.num_experts:
         raise SystemExit("MoE (--num_experts) is not supported with "
-                         "--pipeline_parallel; use --expert_parallel")
+                         "--pipeline_parallel/--tensor_parallel; use "
+                         "--expert_parallel")
     if use_pp:
         from protein_structure_tokenizer_tpu.parallel import pp
 
@@ -214,7 +215,7 @@ def main(argv=None) -> None:
 
     mlog = MetricsLogger(args.metrics_file)
     t0 = time.perf_counter()
-    last_step = start_step
+    last_step = None  # step that actually ran (None: resumed-complete rerun)
     with GracefulPreemption() as pre:
         for step in range(start_step, args.num_steps):
             last_step = step
@@ -237,7 +238,11 @@ def main(argv=None) -> None:
                 break
 
     mlog.close()
-    ckpt.save(last_step, params, opt_state, key, force=True)
+    if last_step is not None:
+        # Final checkpoint of the last step that ran; idempotent if the
+        # periodic gate already wrote it.  A rerun of a completed job runs
+        # no steps and must not invent checkpoints past the horizon.
+        ckpt.save(last_step, params, opt_state, key, force=True)
     ckpt.wait()
     if pre.should_stop:
         ckpt.close()

@@ -217,14 +217,23 @@ def decoder_layer(
     kv_cache: Optional[dict] = None,
     cache_index: Optional[jax.Array] = None,
     mesh: Optional[Mesh] = None,
+    pad_mask: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, Optional[dict], dict]:
     """Returns (x, kv_cache, aux); aux carries MoE load-balance/z losses and
-    is empty ({}) on dense layers."""
+    is empty ({}) on dense layers.  ``pad_mask`` (B, T) excludes pad tokens
+    from MoE routing/capacity/aux stats."""
     act = _activation(cfg.ffn_activation)
     hidden_spec = P(tp.DATA_AXIS, None, tp.MODEL_AXIS)
     aux: dict = {}
 
     if "moe/router" in p:
+        if not cfg.num_experts:
+            raise ValueError(
+                "params contain MoE expert weights but the config has "
+                "num_experts=0 — pass the --num_experts (and "
+                "--num_selected_experts/--moe_layer_stride) the model was "
+                "trained with"
+            )
         from protein_structure_tokenizer_tpu.lm import moe as moe_lib
 
         moe_p = subtree(p, "moe")
@@ -239,6 +248,7 @@ def decoder_layer(
                 activation=act,
                 use_glu=cfg.use_glu_in_ffn,
                 mesh=mesh,
+                valid=pad_mask,
             )
             aux.update(moe_aux)
             return y
@@ -311,11 +321,14 @@ def forward(
         x = tp.constrain(x, mesh, tp.SP_SPEC)
     if attention_mask is None:
         attention_mask = build_causal_mask(1, x.shape[1])
+    pad_mask = (
+        (token_ids != cfg.pad_token_id) if cfg.num_experts else None
+    )
     moe_aux: dict = {}
     for i in range(cfg.num_layers):
         x, _, aux = decoder_layer(
             subtree(p, f"gpt_decoder_layer_{i}/~"), cfg, x, attention_mask,
-            mesh=mesh,
+            mesh=mesh, pad_mask=pad_mask,
         )
         for k, v in aux.items():
             moe_aux[k] = moe_aux.get(k, 0.0) + v
@@ -371,6 +384,9 @@ def forward_step(
     key_pos = jnp.arange(max_len)[None, None, None, :]
     attention_mask = key_pos <= cache_index
 
+    pad_mask = (
+        (token_ids != cfg.pad_token_id) if cfg.num_experts else None
+    )
     new_cache = []
     for i in range(cfg.num_layers):
         x, layer_cache, _ = decoder_layer(
@@ -381,6 +397,7 @@ def forward_step(
             kv_cache=cache[i],
             cache_index=cache_index,
             mesh=mesh,
+            pad_mask=pad_mask,
         )
         new_cache.append(layer_cache)
     if cfg.norm_type == "layer_norm":

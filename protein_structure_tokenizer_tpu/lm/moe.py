@@ -51,25 +51,36 @@ def expert_capacity(num_experts: int, num_selected: int, seq_len: int,
 
 
 def router(
-    p: Params, x: jax.Array, dims: MoeDims
+    p: Params, x: jax.Array, dims: MoeDims, valid: Optional[jax.Array] = None
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Top-k routing. x (B, T, M) -> (dispatch (B,T,E,C) bool-ish f32,
     combine (B,T,E,C) f32 gates, aux load-balance loss, router z-loss).
 
     Router math runs in f32 regardless of the compute dtype — routing
     decisions must not flip under bf16 policies.
+
+    ``valid`` (B, T) excludes pad positions completely: they claim no
+    capacity slots, contribute zero to the combine, and are left out of the
+    load-balance / z statistics (otherwise padded batches steer expert
+    balance toward garbage tokens).
     """
     logits = jnp.einsum(
         "btm,me->bte", x.astype(jnp.float32), p["w"].astype(jnp.float32)
     )
     probs = jax.nn.softmax(logits, axis=-1)  # (B, T, E)
+    if valid is None:
+        valid = jnp.ones(x.shape[:2], jnp.float32)
+    valid = valid.astype(jnp.float32)
 
     # Iterative top-k: per choice, argmax -> one-hot -> mask for next choice.
+    # Pad rows are zeroed at selection, so every later use (gates, capacity
+    # cumsums, dispatch/combine, lb stats) sees them as routed nowhere.
     remaining = probs
     choice_onehots, choice_gates = [], []
     for _ in range(dims.num_selected):
         idx = jnp.argmax(remaining, axis=-1)
         onehot = jax.nn.one_hot(idx, dims.num_experts, dtype=jnp.float32)
+        onehot = onehot * valid[..., None]
         choice_onehots.append(onehot)
         choice_gates.append((remaining * onehot).sum(-1))
         remaining = remaining * (1.0 - onehot)
@@ -100,12 +111,14 @@ def router(
         counts = counts + onehot.sum(axis=1)
 
     # Load-balancing loss over the FIRST choice (Switch convention): E *
-    # mean_e(fraction of tokens whose top-1 is e) . (mean router prob for e).
-    top1 = choice_onehots[0]
-    frac = top1.mean(axis=(0, 1))  # (E,)
-    prob = probs.mean(axis=(0, 1))
+    # mean_e(fraction of VALID tokens whose top-1 is e) . (mean router prob
+    # for e over valid tokens).
+    denom = jnp.maximum(valid.sum(), 1.0)
+    top1 = choice_onehots[0]  # already valid-masked
+    frac = top1.sum(axis=(0, 1)) / denom  # (E,)
+    prob = (probs * valid[..., None]).sum(axis=(0, 1)) / denom
     lb_loss = dims.num_experts * jnp.sum(frac * prob)
-    z_loss = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
+    z_loss = (jax.nn.logsumexp(logits, axis=-1) ** 2 * valid).sum() / denom
     return dispatch, combine, lb_loss, z_loss
 
 
@@ -119,6 +132,7 @@ def moe_mlp(
     activation,
     use_glu: bool,
     mesh=None,
+    valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, dict]:
     """The MoE block: route -> dispatch -> stacked-expert FFN -> combine.
 
@@ -135,7 +149,7 @@ def moe_mlp(
         num_selected=num_selected,
         capacity=expert_capacity(num_experts, num_selected, t, capacity_factor),
     )
-    dispatch, combine, lb_loss, z_loss = router(p["router"], x, dims)
+    dispatch, combine, lb_loss, z_loss = router(p["router"], x, dims, valid=valid)
     dispatch = dispatch.astype(x.dtype)
     combine = combine.astype(x.dtype)
 

@@ -93,15 +93,59 @@ def collate_graphs(graph_dicts: Sequence[dict]) -> ProteinGraphBatch:
     )
 
 
+_RUN_SENTINEL = ".pst_run"
+
+
 def _make_output_dir(path: str) -> None:
-    """Reference semantics — refuse an EXISTING output dir
-    (inference_runner.py:265) — made multi-host safe: only process 0
-    enforces the check (before creating), every other process tolerates the
-    dir whether it races in before or after process 0 (a process>0 creating
-    it first must not kill process 0 mid-collective)."""
-    if jax.process_index() == 0 and os.path.exists(path):
-        raise FileExistsError(f"output dir already exists: {path}")
-    os.makedirs(path, exist_ok=True)
+    """Reference semantics — refuse a PRE-EXISTING output dir
+    (inference_runner.py:265) — made multi-host safe.
+
+    Every process drops a sentinel file right after creating the dir, so
+    process 0 can tell a dir created by a RACING PEER of this run (sentinel
+    present or imminent — tolerated) from stale user data (no sentinel —
+    refused).  A short wait covers the create-dir→write-sentinel gap."""
+    sentinel = os.path.join(path, _RUN_SENTINEL)
+    try:
+        os.makedirs(path)
+    except FileExistsError:
+        if jax.process_index() != 0:
+            pass  # peer or user dir — process 0 adjudicates
+        else:
+            deadline = time.perf_counter() + 2.0
+            while not os.path.exists(sentinel):
+                if time.perf_counter() > deadline:
+                    raise FileExistsError(
+                        f"output dir already exists: {path}"
+                    ) from None
+                time.sleep(0.05)
+    with open(sentinel, "w"):
+        pass
+
+
+def _finish_output_dir(path: Optional[str]) -> None:
+    """Remove the run sentinel: a COMPLETED run's dir must be refused by the
+    next run (reference overwrite protection); only a crashed run leaves the
+    sentinel behind (and may be overwritten by a rerun)."""
+    if path is None:
+        return
+    try:
+        os.remove(os.path.join(path, _RUN_SENTINEL))
+    except OSError:
+        pass
+
+
+def dummy_ala_protein(positions: np.ndarray, mask: np.ndarray) -> Protein:
+    """Backbone-only decoded structure as a dummy-ALA Protein, like the
+    reference decode path (inference_runner.py:412-427)."""
+    n = positions.shape[0]
+    aatype_dummy = np.concatenate([np.ones((n, 1)), np.zeros((n, 20))], axis=-1)
+    return Protein.from_atom37_rep(
+        atom37_positions=positions,
+        atom37_gt_exists=mask,
+        atom37_atom_exists=mask,
+        aatype=aatype_dummy,
+        chain_id="A",
+    )
 
 
 class InferenceRunner:
@@ -377,10 +421,51 @@ class InferenceRunner:
                     fetch_and_save(in_flight.popleft())
         finally:
             prefetcher.shutdown(wait=False, cancel_futures=True)
+        _finish_output_dir(token_save_path)
         timers.log_summary("tokenize stages")
         return results
 
     # -- decode -------------------------------------------------------------
+    def pad_token_rows(
+        self, sequences: Sequence[np.ndarray], pad_token_id: Optional[int] = None
+    ) -> np.ndarray:
+        """Right-pad variable-length token sequences to (B, seq_max/df)."""
+        cfg = self.config.data
+        pad_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
+        effective_len = cfg.seq_max_size // cfg.downsampling_ratio
+        rows = []
+        for seq in sequences:
+            seq = np.asarray(seq, np.int32).reshape(-1)[:effective_len]
+            rows.append(
+                np.pad(seq, (0, effective_len - len(seq)), constant_values=pad_id)
+            )
+        return np.stack(rows)
+
+    def dispatch_decode(
+        self, tokens_ids: np.ndarray, pad_token_id: Optional[int] = None
+    ):
+        """Enqueue one decode batch: (B, T_tokens) int ids (pad-padded) ->
+        (num_nodes (B,), out dict of in-flight device arrays).  Async: fetch
+        the outputs with jax.device_get when needed."""
+        cfg = self.config.data
+        pad_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
+        tokens_mask = build_tokens_mask_from_sequence(tokens_ids, pad_id)
+        nodes_mask = build_nodes_mask_from_tokens_mask(
+            tokens_mask, cfg.downsampling_ratio
+        )
+        quantized = self.indexes_to_codes_fn(jnp.asarray(tokens_ids))
+        out = self.decode_fn(
+            self.params,
+            mesh_lib.shard_batch(self.mesh, jnp.asarray(quantized)),
+            mesh_lib.shard_batch(
+                self.mesh, jnp.asarray(nodes_mask[..., None], dtype=jnp.float32)
+            ),
+            mesh_lib.shard_batch(
+                self.mesh, jnp.asarray(tokens_mask[..., None], dtype=jnp.float32)
+            ),
+        )
+        return nodes_mask.sum(axis=-1), out
+
     def decode_tokens(
         self,
         token_files: Sequence[str],
@@ -395,8 +480,6 @@ class InferenceRunner:
         cfg = self.config.data
         timers = StageTimers()
         pad_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
-        df = cfg.downsampling_ratio
-        effective_len = cfg.seq_max_size // df
 
         structure_dir = None
         if structure_save_path is not None:
@@ -423,20 +506,10 @@ class InferenceRunner:
             with timers.annotated_stage("device"):
                 positions = np.asarray(jax.device_get(out["final_atom_positions"]))
                 mask = np.asarray(jax.device_get(out["final_atom_mask"]))
-            total_padded = positions.shape[1]
-            aatype_dummy = np.concatenate(
-                [np.ones((total_padded, 1)), np.zeros((total_padded, 20))], axis=-1
-            )
             with timers.annotated_stage("write_pdb"):
                 for row, path in enumerate(chunk):
                     n = int(num_nodes[row])
-                    prot = Protein.from_atom37_rep(
-                        atom37_positions=positions[row, :n],
-                        atom37_gt_exists=mask[row, :n],
-                        atom37_atom_exists=mask[row, :n],
-                        aatype=aatype_dummy[:n],
-                        chain_id="A",
-                    )
+                    prot = dummy_ala_protein(positions[row, :n], mask[row, :n])
                     name = os.path.basename(path).split("_tokens.npy")[0].split(".npy")[0]
                     results[name] = prot
                     if structure_dir is not None:
@@ -454,35 +527,17 @@ class InferenceRunner:
             for it in iterator:
                 chunk = padded_files[it * global_batch : (it + 1) * global_batch]
                 with timers.annotated_stage("load+mask"):
-                    token_rows = []
-                    for path in chunk:
-                        seq = np.load(path).astype(np.int32).reshape(-1)[:effective_len]
-                        token_rows.append(
-                            np.pad(seq, (0, effective_len - len(seq)), constant_values=pad_id)
-                        )
-                    tokens_ids = np.stack(token_rows)
-
-                    tokens_mask = build_tokens_mask_from_sequence(tokens_ids, pad_id)
-                    nodes_mask = build_nodes_mask_from_tokens_mask(tokens_mask, df)
-                    num_nodes = nodes_mask.sum(axis=-1)
-
-                with timers.annotated_stage("dispatch"):
-                    quantized = self.indexes_to_codes_fn(jnp.asarray(tokens_ids))
-                    out = self.decode_fn(
-                        self.params,
-                        mesh_lib.shard_batch(self.mesh, jnp.asarray(quantized)),
-                        mesh_lib.shard_batch(
-                            self.mesh, jnp.asarray(nodes_mask[..., None], dtype=jnp.float32)
-                        ),
-                        mesh_lib.shard_batch(
-                            self.mesh, jnp.asarray(tokens_mask[..., None], dtype=jnp.float32)
-                        ),
+                    tokens_ids = self.pad_token_rows(
+                        [np.load(path) for path in chunk], pad_id
                     )
+                with timers.annotated_stage("dispatch"):
+                    num_nodes, out = self.dispatch_decode(tokens_ids, pad_id)
                 in_flight.append((chunk, num_nodes, out))
                 if len(in_flight) > 1:
                     fetch_and_write(in_flight.popleft())
             while in_flight:
                 fetch_and_write(in_flight.popleft())
+        _finish_output_dir(structure_dir)
         timers.log_summary("decode stages")
         return results
 

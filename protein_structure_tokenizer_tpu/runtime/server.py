@@ -48,8 +48,6 @@ from protein_structure_tokenizer_tpu.data.featurize import (
 from protein_structure_tokenizer_tpu.data.sample import parse_pdb_string
 from protein_structure_tokenizer_tpu.runtime.runner import (
     InferenceRunner,
-    build_nodes_mask_from_tokens_mask,
-    build_tokens_mask_from_sequence,
     collate_graphs,
 )
 
@@ -237,37 +235,15 @@ class BatchingEngine:
         return results
 
     def _run_decode(self, batch: List[_Request]) -> List[dict]:
-        cfg = self.runner.config
-        df = cfg.data.downsampling_ratio
-        max_tokens = cfg.data.seq_max_size // df
-        pad_id = cfg.data.pad_token_id
-        rows = []
-        for r in batch:
-            toks = r.payload.reshape(-1)[:max_tokens]
-            row = np.full((max_tokens,), pad_id, np.int32)
-            row[: len(toks)] = toks
-            rows.append(row)
-        rows = np.stack(self._pad_rows(rows))
-        tokens_mask = build_tokens_mask_from_sequence(rows, pad_id)
-        nodes_mask = build_nodes_mask_from_tokens_mask(tokens_mask, df)
-
-        mesh = self.runner.mesh
-        quantized = self.runner.indexes_to_codes_fn(jnp.asarray(rows))
-        out = self.runner.decode_fn(
-            self.runner.params,
-            mesh_lib.shard_batch(mesh, jnp.asarray(quantized)),
-            mesh_lib.shard_batch(
-                mesh, jnp.asarray(nodes_mask[..., None], dtype=jnp.float32)
-            ),
-            mesh_lib.shard_batch(
-                mesh, jnp.asarray(tokens_mask[..., None], dtype=jnp.float32)
-            ),
+        rows = self.runner.pad_token_rows(
+            self._pad_rows([r.payload for r in batch])
         )
+        num_nodes, out = self.runner.dispatch_decode(rows)
         pos = np.asarray(jax.device_get(out["final_atom_positions"]))
         mask = np.asarray(jax.device_get(out["final_atom_mask"]))
         results = []
         for i in range(len(batch)):
-            n = int(nodes_mask[i].sum())
+            n = int(num_nodes[i])
             results.append(
                 {
                     "final_atom_positions": pos[i, :n],
@@ -350,22 +326,14 @@ class InferenceServer:
         return self.httpd.server_address[1]
 
     def _to_pdb(self, decode_out: dict) -> str:
-        from protein_structure_tokenizer_tpu.data.protein_io import Protein, to_pdb
+        from protein_structure_tokenizer_tpu.data.protein_io import to_pdb
+        from protein_structure_tokenizer_tpu.runtime.runner import dummy_ala_protein
 
-        n = decode_out["n_residues"]
-        # Dummy-ALA sequence, like the reference decode CLI
-        # (inference_runner.py:412-427).
-        aatype_dummy = np.concatenate(
-            [np.ones((n, 1)), np.zeros((n, 20))], axis=-1
+        return to_pdb(
+            dummy_ala_protein(
+                decode_out["final_atom_positions"], decode_out["final_atom_mask"]
+            )
         )
-        prot = Protein.from_atom37_rep(
-            atom37_positions=decode_out["final_atom_positions"],
-            atom37_gt_exists=decode_out["final_atom_mask"],
-            atom37_atom_exists=decode_out["final_atom_mask"],
-            aatype=aatype_dummy,
-            chain_id="A",
-        )
-        return to_pdb(prot)
 
     def _generate(self, payload: dict) -> dict:
         if self.gpt_params is None:
@@ -390,12 +358,12 @@ class InferenceServer:
             top_p=float(opts.get("top_p", 0.15)),
         )
         arr = np.asarray(toks)
-        eos, bos = self.gpt_config.eos_token_id, self.gpt_config.bos_token_id
-        out = []
-        for row in arr:
-            row = row[row != bos]
-            stop = np.argmax(row == eos) if (row == eos).any() else len(row)
-            out.append(row[:stop].tolist())
+        out = [
+            sampling.strip_special_tokens(
+                row, self.gpt_config.bos_token_id, self.gpt_config.eos_token_id
+            ).tolist()
+            for row in arr
+        ]
         return {"tokens": out, "seed": seed}
 
     def serve_forever(self):

@@ -37,6 +37,10 @@ class TrainCheckpointManager:
     def save(self, step: int, params, opt_state, rng, *, force: bool = False) -> bool:
         if not force and self.save_every > 0 and step % self.save_every != 0:
             return False
+        if step in self.manager.all_steps():
+            # Idempotent: a final/preemption force-save of a step the periodic
+            # gate already wrote must not raise StepAlreadyExistsError.
+            return False
         state = {"params": params, "opt_state": opt_state, "rng": rng}
         saved = self.manager.save(
             step, args=self._ocp.args.Composite(state=self._ocp.args.StandardSave(state))

@@ -42,7 +42,7 @@ def moe_cfg(**kw):
 def setup():
     cfg = moe_cfg()
     params = gpt.init(jax.random.PRNGKey(0), cfg)
-    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, cfg.vocab_size)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 3, cfg.vocab_size)
     return cfg, params, ids
 
 
@@ -69,7 +69,7 @@ def test_moe_with_identical_experts_is_dense():
         )
         # Attention / norms / embeddings already agree: same init key and the
         # same split order per layer.
-    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 12), 0, cfg_dense.vocab_size)
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 12), 3, cfg_dense.vocab_size)
     out_dense = gpt.forward(dense, cfg_dense, ids)["logits"]
     out_moe = gpt.forward(moe_params, cfg_moe, ids)["logits"]
     np.testing.assert_allclose(
@@ -123,7 +123,7 @@ def test_ep_train_step_learns(setup):
     tcfg = LmTrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=50)
     params, opt_state = init_ep_train_state(jax.random.PRNGKey(7), cfg, tcfg, mesh)
     step, _ = make_train_step(cfg, tcfg, mesh)
-    tokens = jax.random.randint(jax.random.PRNGKey(8), (4, 17), 0, cfg.vocab_size)
+    tokens = jax.random.randint(jax.random.PRNGKey(8), (4, 17), 3, cfg.vocab_size)
     losses = []
     for _ in range(6):
         params, opt_state, m = step(params, opt_state, tokens)
@@ -165,3 +165,38 @@ def test_moe_layer_stride():
     out = gpt.forward(params, cfg, ids)
     assert np.isfinite(np.asarray(out["logits"])).all()
     assert "moe_lb_loss" in out
+
+
+def test_pad_tokens_excluded_from_moe():
+    """Pad positions claim no capacity and are excluded from the aux stats:
+    appending pad tail to a batch leaves lb/z losses EXACTLY unchanged and
+    the real positions' logits unchanged (no-drop capacity)."""
+    cfg = moe_cfg(num_selected_experts=1, expert_capacity_factor=4.0)
+    params = gpt.init(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 3, cfg.vocab_size)
+    padded = jnp.concatenate(
+        [ids, jnp.full((2, 6), cfg.pad_token_id, ids.dtype)], axis=1
+    )
+    out = gpt.forward(params, cfg, ids)
+    out_p = gpt.forward(params, cfg, padded)
+    np.testing.assert_allclose(
+        float(out["moe_lb_loss"]), float(out_p["moe_lb_loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(out["moe_z_loss"]), float(out_p["moe_z_loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]),
+        np.asarray(out_p["logits"][:, :8]),
+        atol=1e-5,
+    )
+
+
+def test_moe_params_without_config_rejected():
+    """Loading MoE weights with a dense config fails with a clear message,
+    not a ZeroDivisionError deep in tracing."""
+    cfg_moe = moe_cfg()
+    params = gpt.init(jax.random.PRNGKey(0), cfg_moe)
+    cfg_dense = moe_cfg(num_experts=0)
+    with pytest.raises(ValueError, match="num_experts"):
+        gpt.forward(params, cfg_dense, jnp.zeros((1, 4), jnp.int32))

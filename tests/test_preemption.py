@@ -96,3 +96,21 @@ def test_train_cli_sigterm_checkpoints_and_resumes(tmp_path):
     assert "starting at step" in out2.stderr + out2.stdout
     joined = out2.stderr + out2.stdout
     assert "starting at step 0" not in joined, joined
+
+
+def test_force_save_existing_step_is_idempotent(tmp_path):
+    """A preemption/final force-save of a step the periodic gate already
+    wrote returns False instead of raising StepAlreadyExistsError."""
+    import jax
+
+    from protein_structure_tokenizer_tpu.runtime.train_checkpoint import (
+        TrainCheckpointManager,
+    )
+
+    mgr = TrainCheckpointManager(str(tmp_path / "ckpt"), save_every=1)
+    x = {"w": jax.numpy.ones((2,))}
+    assert mgr.save(5, x, x, jax.random.PRNGKey(0))
+    mgr.wait()
+    assert not mgr.save(5, x, x, jax.random.PRNGKey(0), force=True)
+    assert mgr.latest_step() == 5
+    mgr.close()
