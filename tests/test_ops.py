@@ -91,3 +91,19 @@ def test_quantize_distances_paths_agree():
     np.testing.assert_allclose(
         np.asarray(ours["soft_proba"]), np.asarray(ref["soft_proba"]), rtol=1e-5, atol=1e-6
     )
+
+
+def test_pallas_gather_rows_exact():
+    """ops/gather_kernels.py: in-register one-hot gather == take_along_axis
+    bit-for-bit (bf16x3 split reconstructs f32 exactly under a one-hot)."""
+    import jax
+    import jax.numpy as jnp
+
+    from protein_structure_tokenizer_tpu.ops.gather_kernels import gather_rows
+
+    key = jax.random.PRNGKey(0)
+    nodes = jax.random.normal(key, (3, 96, 128), jnp.float32) * 37.0
+    idx = jax.random.randint(jax.random.PRNGKey(1), (3, 500), 0, 96)
+    ref = jnp.take_along_axis(nodes, idx[..., None], axis=1)
+    got = gather_rows(nodes, idx, e_tile=256)
+    assert (np.asarray(ref) == np.asarray(got)).all()
