@@ -63,6 +63,9 @@ def parse_args(argv=None):
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--grad_clip_norm", type=float, default=1.0)
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="> 0: warmup + cosine decay to 10%% of peak over "
+                   "--num_steps (default: constant rate)")
     p.add_argument("--pct_unclamped", type=float, default=0.1,
                    help="Fraction of layers trained with unclamped FAPE")
     p.add_argument("--seq_max", type=int, default=512,
@@ -75,6 +78,9 @@ def parse_args(argv=None):
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--max_to_keep", type=int, default=3)
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="Average gradients over k micro-batches per update "
+                   "(k x effective batch in one chip's memory)")
     p.add_argument("--metrics_file", type=str, default=None,
                    help="Append per-log-step scalar metrics as JSONL "
                    "(process 0 only)")
@@ -100,6 +106,9 @@ def main(argv=None) -> None:
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,
         grad_clip_norm=args.grad_clip_norm,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.num_steps,
+        grad_accum_steps=args.grad_accum_steps,
         loss=LossConfig(fape=FapeConfig(pct_unclamped=args.pct_unclamped)),
     )
     if args.context_parallel > 1:

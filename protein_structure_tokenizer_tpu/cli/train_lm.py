@@ -92,6 +92,9 @@ def parse_args(argv=None):
     p.add_argument("--save_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=20)
     p.add_argument("--max_to_keep", type=int, default=3)
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="Average gradients over k micro-batches per update "
+                   "(k x effective batch in one chip's memory)")
     p.add_argument("--metrics_file", type=str, default=None,
                    help="Append per-log-step scalar metrics as JSONL "
                    "(process 0 only)")
@@ -137,6 +140,7 @@ def main(argv=None) -> None:
         warmup_steps=args.warmup_steps,
         total_steps=args.num_steps,
         label_smoothing=args.label_smoothing,
+        grad_accum_steps=args.grad_accum_steps,
     )
     use_pp = args.pipeline_parallel > 1
     use_tp = args.tensor_parallel > 1

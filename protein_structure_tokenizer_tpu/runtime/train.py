@@ -27,15 +27,35 @@ class TrainConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 0.0
     grad_clip_norm: Optional[float] = 1.0
+    # warmup_steps > 0 switches the constant rate to warmup + cosine decay
+    # over total_steps (like the LM trainer).
+    warmup_steps: int = 0
+    total_steps: int = 10000
+    # Average gradients over k micro-batches before each optimizer update:
+    # k x the effective batch within one chip's activation memory.
+    grad_accum_steps: int = 1
     loss: LossConfig = LossConfig()
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.warmup_steps > 0:
+        rate = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+            end_value=cfg.learning_rate * 0.1,
+        )
+    else:
+        rate = cfg.learning_rate
     chain = []
     if cfg.grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
-    chain.append(optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay))
-    return optax.chain(*chain)
+    chain.append(optax.adamw(rate, weight_decay=cfg.weight_decay))
+    tx = optax.chain(*chain)
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
 
 
 def loss_fn(

@@ -35,6 +35,8 @@ class LmTrainConfig:
     warmup_steps: int = 100
     total_steps: int = 10000  # cosine decay horizon
     label_smoothing: float = 0.0
+    # Average gradients over k micro-batches before each optimizer update.
+    grad_accum_steps: int = 1
     # MoE aux-loss weights (only active when the model has expert layers).
     moe_lb_loss_weight: float = 0.01
     moe_z_loss_weight: float = 1e-3
@@ -52,7 +54,10 @@ def make_optimizer(cfg: LmTrainConfig) -> optax.GradientTransformation:
     if cfg.grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
     chain.append(optax.adamw(schedule, weight_decay=cfg.weight_decay))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
 
 
 def lm_loss(

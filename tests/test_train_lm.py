@@ -120,3 +120,48 @@ def test_trained_params_generate():
     assert out.shape == (2, TINY.max_position_embeddings)
     assert (out[:, 0] == TINY.bos_token_id).all()
     assert ((out >= 0) & (out < TINY.vocab_size)).all()
+
+
+def test_grad_accumulation_matches_full_batch():
+    """grad_accum_steps=2 over two half-batches == one full-batch update
+    (MultiSteps averages the micro-grads; adam sees identical moments)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from protein_structure_tokenizer_tpu.lm import gpt
+    from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+    from protein_structure_tokenizer_tpu.runtime.train_lm import (
+        LmTrainConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = gpt.GptConfig(
+        vocab_size=40, embed_dim=32, ffn_embed_dim=64, num_heads=4,
+        num_layers=2, rope_dimensions=8, max_position_embeddings=12,
+    )
+    base = LmTrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=10)
+    mesh = mesh_lib.make_mesh()
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (16, 9), 3, cfg.vocab_size)
+
+    # Full batch, no accumulation.
+    p1, o1 = init_train_state(jax.random.PRNGKey(1), cfg, base, mesh)
+    step1, _ = make_train_step(cfg, base, mesh)
+    p1, o1, _ = step1(p1, o1, tokens)
+
+    # Two micro-steps of 8 rows with k=2.
+    acc = dataclasses.replace(base, grad_accum_steps=2)
+    p2, o2 = init_train_state(jax.random.PRNGKey(1), cfg, acc, mesh)
+    step2, _ = make_train_step(cfg, acc, mesh)
+    p2, o2, _ = step2(p2, o2, tokens[:8])
+    p2, o2, _ = step2(p2, o2, tokens[8:])
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        jax.device_get(p1),
+        jax.device_get(p2),
+    )
