@@ -166,3 +166,38 @@ def test_stats_endpoint(served):
     snap = json.loads(data)
     assert snap["requests"] >= 1
     assert snap["latency_ms"]["p50"] is not None
+
+
+def test_generate_endpoint(served):
+    """POST /generate with server-attached GPT weights (tiny config)."""
+    from protein_structure_tokenizer_tpu.lm import gpt
+
+    cfg, runner, engine, server = served
+    gcfg = gpt.GptConfig(
+        vocab_size=20, embed_dim=32, ffn_embed_dim=64, num_heads=4,
+        num_layers=1, rope_dimensions=8, max_position_embeddings=10,
+        bos_token_id=17, eos_token_id=18, pad_token_id=19,
+    )
+    server.gpt_config = gcfg
+    server.gpt_params = gpt.init(jax.random.PRNGKey(0), gcfg)
+    try:
+        status, data = _post(
+            server.port, "/generate",
+            json.dumps({"num_sequences": 2, "num_tokens": 8, "seed": 7}).encode(),
+        )
+        assert status == 200, data
+        out = json.loads(data)
+        assert len(out["tokens"]) == 2
+        assert out["seed"] == 7
+        for row in out["tokens"]:
+            assert all(0 <= t < gcfg.vocab_size for t in row)
+            assert gcfg.bos_token_id not in row and gcfg.eos_token_id not in row
+    finally:
+        server.gpt_params = server.gpt_config = None
+
+
+def test_generate_without_weights_rejected(served):
+    *_, server = served
+    status, data = _post(server.port, "/generate", b"{}")
+    assert status == 400
+    assert "GPT weights" in json.loads(data)["error"]
