@@ -174,6 +174,42 @@ def example_7_lm_workflow():
           f"{n} tokens -> decoded backbone {coords.shape} (toy weights)")
 
 
+def example_8_serving():
+    """Always-on serving: continuous micro-batching over HTTP
+    (cli.serve wraps this; here in-process with random weights)."""
+    import json
+    from http.client import HTTPConnection
+
+    import jax
+
+    from protein_structure_tokenizer_tpu.models import vq3d
+    from protein_structure_tokenizer_tpu.models.config import preset
+    from protein_structure_tokenizer_tpu.runtime.runner import InferenceRunner
+    from protein_structure_tokenizer_tpu.runtime.server import (
+        BatchingEngine,
+        InferenceServer,
+    )
+
+    cfg = preset(432, 1)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    server = InferenceServer(
+        BatchingEngine(InferenceRunner(cfg, params), max_batch=4), port=0
+    )
+    server.start_background()
+    try:
+        with open(_sample_pdb()) as f:
+            pdb_text = f.read()
+        conn = HTTPConnection("127.0.0.1", server.port, timeout=300)
+        conn.request("POST", "/tokenize", body=pdb_text.encode())
+        tokens = json.loads(conn.getresponse().read())["tokens"]
+        print(f"served {len(tokens)} tokens: {tokens[:8]}...")
+        conn.request("GET", "/stats")
+        print("stats:", json.loads(conn.getresponse().read()))
+        conn.close()
+    finally:
+        server.close()
+
+
 EXAMPLES = [
     example_1_basic_usage,
     example_2_custom_config,
@@ -182,6 +218,7 @@ EXAMPLES = [
     example_5_info_only,
     example_6_tokenize_roundtrip,
     example_7_lm_workflow,
+    example_8_serving,
 ]
 
 
