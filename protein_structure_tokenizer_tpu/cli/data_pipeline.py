@@ -95,7 +95,11 @@ def main(argv=None) -> None:
         import glob
         import os
 
-        paths = sorted(glob.glob(os.path.join(args.input_dir, "*.pdb")))
+        paths = sorted(
+            glob.glob(os.path.join(args.input_dir, "*.pdb"))
+            + glob.glob(os.path.join(args.input_dir, "*.cif"))
+            + glob.glob(os.path.join(args.input_dir, "*.mmcif"))
+        )
         results = pipeline.process_batch(paths, args.output_dir, args.chain)
         ok = sum(1 for v in results.values() if v)
         print(f"processed {ok}/{len(results)} structures into {args.output_dir}")

@@ -32,9 +32,16 @@ def main(argv=None) -> None:
     parser.add_argument("--align", action="store_true",
                         help="Sequence-independent TM-align search (chains may "
                         "differ in length) instead of 1:1 TM-score")
+    parser.add_argument("--lddt", action="store_true",
+                        help="Also report superposition-free global lDDT "
+                        "(1:1 mode only)")
     args = parser.parse_args(argv)
+    if args.lddt and args.align:
+        parser.error("--lddt requires 1:1 correspondence; drop --align")
 
-    report = compare_structure_dirs(args.predicted_dir, args.target_dir, align=args.align)
+    report = compare_structure_dirs(
+        args.predicted_dir, args.target_dir, align=args.align, with_lddt=args.lddt
+    )
     if not report:
         raise FileNotFoundError(
             f"no basename-matched .pdb pairs between {args.predicted_dir} "
@@ -44,7 +51,7 @@ def main(argv=None) -> None:
     agg = report.get("__aggregate__", {})
     n = len(report) - ("__aggregate__" in report)
     logger.info("compared %d structure pairs", n)
-    for key in ("tm_mean", "tm_std", "rmsd_mean", "rmsd_std",
+    for key in ("tm_mean", "tm_std", "rmsd_mean", "rmsd_std", "lddt_mean",
                 "gdt_ts_mean", "gdt_ha_mean", "maxsub_mean",
                 "tm_norm_a_mean", "tm_norm_b_mean", "rmsd_aligned_mean",
                 "n_aligned_mean"):

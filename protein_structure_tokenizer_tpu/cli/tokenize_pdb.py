@@ -34,7 +34,11 @@ def main(argv=None) -> None:
     add_model_args(parser)
     args = parser.parse_args(argv)
 
-    pdbs = sorted(glob.glob(os.path.join(args.pdb_dir, "*.pdb")))
+    pdbs = sorted(
+        glob.glob(os.path.join(args.pdb_dir, "*.pdb"))
+        + glob.glob(os.path.join(args.pdb_dir, "*.cif"))
+        + glob.glob(os.path.join(args.pdb_dir, "*.mmcif"))
+    )
     if not pdbs:
         raise FileNotFoundError(f"no .pdb files under {args.pdb_dir}")
 

@@ -315,14 +315,14 @@ def make_graph_from_pdb(
     back to the numpy path whenever the native preconditions don't hold, so
     features are identical either way (to float64 rounding).
     """
-    from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
+    from protein_structure_tokenizer_tpu.data.sample import parse_structure_file
 
     if use_native is None:
         from protein_structure_tokenizer_tpu import native
 
         use_native = native.available()
 
-    sample = parse_pdb_file(pdb_path)
+    sample = parse_structure_file(pdb_path)
     if sample.nb_residues > padding_num_residue:
         raise NotImplementedError(
             f"proteins with more than {padding_num_residue} residues are not "

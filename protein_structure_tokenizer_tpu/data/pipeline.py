@@ -22,8 +22,9 @@ from protein_structure_tokenizer_tpu.data.featurize import (
 )
 from protein_structure_tokenizer_tpu.data.sample import (
     ProteinSample,
-    parse_pdb_file,
+    parse_cif_string,
     parse_pdb_string,
+    parse_structure_file,
 )
 
 logger = logging.getLogger(__name__)
@@ -44,10 +45,13 @@ class DataPipeline:
 
     # -- loading -------------------------------------------------------------
     def load_from_pdb_file(self, path: str, chain_id: Optional[str] = None) -> ProteinSample:
-        return parse_pdb_file(path, chain_id)
+        return parse_structure_file(path, chain_id)
 
     def load_from_pdb_string(self, pdb: str, chain_id: Optional[str] = None) -> ProteinSample:
         return parse_pdb_string(pdb, chain_id)
+
+    def load_from_cif_string(self, cif: str, chain_id: Optional[str] = None) -> ProteinSample:
+        return parse_cif_string(cif, chain_id)
 
     def load_from_npy(self, path: str) -> ProteinSample:
         return ProteinSample.from_file(path)
@@ -117,7 +121,7 @@ class DataPipeline:
         os.makedirs(output_dir, exist_ok=True)
         results = {}
         for path in pdb_paths:
-            name = os.path.basename(path).rsplit(".pdb", 1)[0]
+            name = os.path.splitext(os.path.basename(path))[0]
             try:
                 out = os.path.join(output_dir, name + ".npz")
                 self.process_single(path, out, chain_id)

@@ -217,6 +217,14 @@ def parse_pdb_string(pdb_str: str, chain_id: Optional[str] = None) -> ProteinSam
                     continue
             atoms[atom_name] = (coord, occupancy)
 
+    return _residues_to_sample(order, residues, chain_id)
+
+
+def _residues_to_sample(
+    order: List[tuple], residues: Dict[tuple, dict], chain_id: Optional[str]
+) -> ProteinSample:
+    """Shared tail of the PDB/mmCIF parsers: accumulated per-residue atom
+    dicts -> ProteinSample (one-hot aatype, atom37 positions/masks)."""
     aatype: List[int] = []
     positions: List[np.ndarray] = []
     gt_exists: List[np.ndarray] = []
@@ -253,6 +261,165 @@ def parse_pdb_string(pdb_str: str, chain_id: Optional[str] = None) -> ProteinSam
     )
 
 
+def _cif_tokens(line: str) -> List[str]:
+    """Tokenize one mmCIF data line (handles '...'/"..." quoted values)."""
+    tokens: List[str] = []
+    i, n = 0, len(line)
+    while i < n:
+        c = line[i]
+        if c in " \t":
+            i += 1
+        elif c in "'\"":
+            j = i + 1
+            # closing quote must be followed by whitespace/EOL per the spec
+            while j < n and not (line[j] == c and (j + 1 == n or line[j + 1] in " \t")):
+                j += 1
+            tokens.append(line[i + 1 : j])
+            i = j + 1
+        else:
+            j = i
+            while j < n and line[j] not in " \t":
+                j += 1
+            tokens.append(line[i:j])
+            i = j
+    return tokens
+
+
+def parse_cif_string(cif_str: str, chain_id: Optional[str] = None) -> ProteinSample:
+    """Parse an mmCIF `_atom_site` loop into a ProteinSample.
+
+    Format extension over the reference (its parser reads legacy PDB only,
+    protein_structure_sample.py:166-248); semantics mirror
+    :func:`parse_pdb_string` exactly: non-standard residues become UNK, atoms
+    outside the atom37 vocabulary are ignored, residues with no recognized
+    atoms are skipped, multi-model files and insertion codes are rejected,
+    alternate locations keep the highest-occupancy conformer.  `auth_*`
+    identifiers are preferred over `label_*` (they are what the equivalent
+    PDB file records).
+    """
+    lines = iter(cif_str.splitlines())
+    tags: List[str] = []
+    rows: List[List[str]] = []
+    in_loop_header = False
+    in_atom_rows = False
+    pending: List[str] = []
+
+    for line in lines:
+        stripped = line.strip()
+        if in_atom_rows:
+            if stripped.startswith(("_", "loop_", "#", "data_")) or not stripped:
+                if pending:
+                    raise ValueError("mmCIF _atom_site loop ended mid-row")
+                break
+            pending.extend(_cif_tokens(line))
+            while len(pending) >= len(tags):
+                rows.append(pending[: len(tags)])
+                pending = pending[len(tags) :]
+            continue
+        if stripped == "loop_":
+            in_loop_header = True
+            tags = []
+            continue
+        if in_loop_header:
+            if stripped.startswith("_atom_site."):
+                tags.append(stripped.split()[0])
+                continue
+            if stripped.startswith("_"):  # a different loop's tags
+                in_loop_header = False
+                tags = []
+                continue
+            if tags:  # first data row of the atom_site loop
+                in_atom_rows = True
+                pending.extend(_cif_tokens(line))
+                while len(pending) >= len(tags):
+                    rows.append(pending[: len(tags)])
+                    pending = pending[len(tags) :]
+            else:
+                in_loop_header = False
+
+    if not tags or not rows:
+        raise ValueError("no _atom_site loop found in mmCIF input")
+
+    col = {t: i for i, t in enumerate(tags)}
+
+    def field(row: List[str], *names: str, default: Optional[str] = None) -> str:
+        for name in names:
+            idx = col.get(f"_atom_site.{name}")
+            if idx is not None:
+                return row[idx]
+        if default is None:
+            raise ValueError(f"mmCIF _atom_site loop missing column(s) {names}")
+        return default
+
+    residues: Dict[tuple, dict] = {}
+    order: List[tuple] = []
+    model_seen: Optional[str] = None
+
+    for row in rows:
+        group = field(row, "group_PDB", default="ATOM")
+        if group not in ("ATOM", "HETATM"):
+            continue
+        model = field(row, "pdbx_PDB_model_num", default="1")
+        if model_seen is None:
+            model_seen = model
+        elif model != model_seen:
+            raise ValueError("Only single model mmCIF files are supported.")
+        chain = field(row, "auth_asym_id", "label_asym_id")
+        if chain_id is not None and chain != chain_id:
+            continue
+        icode = field(row, "pdbx_PDB_ins_code", default=".")
+        if icode not in (".", "?", ""):
+            raise ValueError(
+                f"mmCIF contains an insertion code at chain {chain}. "
+                "These are not supported."
+            )
+        atom_name = field(row, "auth_atom_id", "label_atom_id")
+        altloc = field(row, "label_alt_id", default=".")
+        resname = field(row, "auth_comp_id", "label_comp_id")
+        try:
+            resseq = int(field(row, "auth_seq_id", "label_seq_id"))
+        except ValueError:
+            continue
+        hetfield = " " if group == "ATOM" else ("W" if resname in ("HOH", "WAT") else "H")
+        key = (chain, hetfield, resseq)
+        if key not in residues:
+            residues[key] = {"resname": resname, "atoms": {}}
+            order.append(key)
+        if atom_name not in constants.ATOM_ORDER:
+            continue
+        try:
+            occupancy = float(field(row, "occupancy", default="1.0"))
+        except ValueError:
+            occupancy = 1.0
+        coord = np.array(
+            [
+                float(field(row, "Cartn_x")),
+                float(field(row, "Cartn_y")),
+                float(field(row, "Cartn_z")),
+            ],
+            dtype=np.float32,
+        )
+        atoms = residues[key]["atoms"]
+        if atom_name in atoms and altloc not in (".", "?", ""):
+            if occupancy <= atoms[atom_name][1]:
+                continue
+        atoms[atom_name] = (coord, occupancy)
+
+    return _residues_to_sample(order, residues, chain_id)
+
+
 def parse_pdb_file(path: str, chain_id: Optional[str] = None) -> ProteinSample:
     with open(path) as f:
         return parse_pdb_string(f.read(), chain_id)
+
+
+def parse_cif_file(path: str, chain_id: Optional[str] = None) -> ProteinSample:
+    with open(path) as f:
+        return parse_cif_string(f.read(), chain_id)
+
+
+def parse_structure_file(path: str, chain_id: Optional[str] = None) -> ProteinSample:
+    """Parse a structure file, dispatching on extension (.pdb vs .cif/.mmcif)."""
+    if path.lower().endswith((".cif", ".mmcif")):
+        return parse_cif_file(path, chain_id)
+    return parse_pdb_file(path, chain_id)

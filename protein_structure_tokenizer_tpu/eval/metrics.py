@@ -288,7 +288,8 @@ def ca_metrics(
 
 
 def compare_structure_dirs(
-    predicted_dir: str, target_dir: str, *, align: bool = False
+    predicted_dir: str, target_dir: str, *, align: bool = False,
+    with_lddt: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     """Directory-vs-directory comparison report (make_tm_compare equivalent).
 
@@ -296,9 +297,16 @@ def compare_structure_dirs(
     ``__aggregate__`` mean/std entries.  ``align=True`` uses the
     sequence-independent TM-align search (chains may differ in length — the
     reference's TMalign mode); default assumes 1:1 residue correspondence
-    (its TMscore mode), truncating to the shorter chain.
+    (its TMscore mode), truncating to the shorter chain.  ``with_lddt=True``
+    adds a superposition-free global lDDT over mutually-resolved atoms
+    (the reference's disabled OpenStructure lddt tool,
+    /root/reference/structure_tokenizer/data/tools/lddt.py:26-99); requires
+    the 1:1 mode.
     """
     from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
+
+    if with_lddt and align:
+        raise ValueError("--lddt requires 1:1 correspondence (no --align)")
 
     def stems(d):
         out = {}
@@ -326,6 +334,15 @@ def compare_structure_dirs(
                 t.atom37_positions[:n].astype(np.float64),
             )
         report[stem] = metrics.as_dict()
+        if with_lddt:
+            from protein_structure_tokenizer_tpu.eval.lddt import lddt_from_atom37
+
+            n = min(p.nb_residues, t.nb_residues)
+            both = (p.atom37_gt_exists[:n] & t.atom37_gt_exists[:n])
+            scores = lddt_from_atom37(
+                p.atom37_positions[:n], t.atom37_positions[:n], both
+            )
+            report[stem]["lddt"] = scores["global_lddt"]
         for k, v in report[stem].items():
             values.setdefault(k, []).append(v)
     if values:

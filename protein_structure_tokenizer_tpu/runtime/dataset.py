@@ -65,9 +65,9 @@ def _featurize_training_sample(args):
     if path.endswith(".npz"):
         graph, feats = DataPipeline.load(path)
         return dataclasses.asdict(graph), feats
-    from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
+    from protein_structure_tokenizer_tpu.data.sample import parse_structure_file
 
-    sample = parse_pdb_file(path)
+    sample = parse_structure_file(path)
     if filter_out_sample(sample, min_number_valid_residues=2,
                          max_number_residues=10**9):
         return None

@@ -384,7 +384,7 @@ class InferenceRunner:
                 for row, path in enumerate(chunk[local]):
                     if row in failed_rows:
                         continue
-                    name = os.path.basename(path).split(".pdb")[0]
+                    name = os.path.splitext(os.path.basename(path))[0]
                     token_array = tokens[row : row + 1, : int(n_tokens[row])]
                     results[name] = token_array
                     if token_save_path is not None:
@@ -563,7 +563,7 @@ class InferenceRunner:
             FeaturizeConfig,
             preprocess_sample,
         )
-        from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
+        from protein_structure_tokenizer_tpu.data.sample import parse_structure_file
         from protein_structure_tokenizer_tpu.data.types import TokenizerBatch
         from protein_structure_tokenizer_tpu.runtime.dataset import collate_features
 
@@ -589,7 +589,7 @@ class InferenceRunner:
         all_metrics: dict = {}
         for it in range(num_iterations):
             chunk = padded_paths[it * global_batch : (it + 1) * global_batch]
-            samples = [parse_pdb_file(p) for p in chunk]
+            samples = [parse_structure_file(p) for p in chunk]
             featurized = [preprocess_sample(s, fcfg) for s in samples]
             graph = collate_graphs([_dc.asdict(g) for g, _ in featurized])
             features = collate_features([f for _, f in featurized])
@@ -603,7 +603,7 @@ class InferenceRunner:
             n_tokens = np.asarray(graph.tokens_mask).reshape(len(chunk), -1).sum(axis=1)
             n_nodes = np.asarray(graph.n_node).reshape(-1)
             for row, path in enumerate(chunk):
-                name = os.path.basename(path).split(".pdb")[0]
+                name = os.path.splitext(os.path.basename(path))[0]
                 if name in results:
                     continue  # round-robin padding duplicate
                 n = int(n_nodes[row])

@@ -47,6 +47,29 @@ def test_train_lm_parse_args():
     assert args.embed_dim == 64 and args.block_size == 32
 
 
+def test_umbrella_dispatcher():
+    """``python -m protein_structure_tokenizer_tpu`` lists commands and routes
+    to the per-command parsers (the installed-package `pst` entry point)."""
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo"}
+    top = subprocess.run(
+        [sys.executable, "-m", "protein_structure_tokenizer_tpu", "--help"],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert top.returncode == 0 and "tokenize" in top.stdout and "serve" in top.stdout
+
+    routed = subprocess.run(
+        [sys.executable, "-m", "protein_structure_tokenizer_tpu", "evaluate", "--help"],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert routed.returncode == 0 and "--predicted_dir" in routed.stdout
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "protein_structure_tokenizer_tpu", "nope"],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert bad.returncode == 2 and "unknown command" in bad.stderr
+
+
 def test_gpt_config_validation():
     import pytest as _pytest
 

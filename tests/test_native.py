@@ -89,9 +89,14 @@ def test_compare_structure_dirs(tmp_path):
     for p in CASP14[:2]:
         shutil.copy(p, a)
         shutil.copy(p, b)
-    report = metrics.compare_structure_dirs(str(a), str(b))
+    report = metrics.compare_structure_dirs(str(a), str(b), with_lddt=True)
     agg = report.pop("__aggregate__")
     assert len(report) == 2
     for v in report.values():
         assert v["tm"] == pytest.approx(1.0)
+        assert v["lddt"] == pytest.approx(1.0)
     assert agg["tm_mean"] == pytest.approx(1.0)
+    assert agg["lddt_mean"] == pytest.approx(1.0)
+
+    with pytest.raises(ValueError):
+        metrics.compare_structure_dirs(str(a), str(b), align=True, with_lddt=True)
