@@ -36,6 +36,7 @@ from protein_structure_tokenizer_tpu.runtime.train_lm import (
     LmTrainConfig,
     TokenSequenceDataset,
     init_ep_train_state,
+    init_fsdp_train_state,
     init_pp_train_state,
     init_tp_train_state,
     init_train_state,
@@ -77,6 +78,10 @@ def parse_args(argv=None):
     p.add_argument("--sequence_parallel", action="store_true",
                    help="With --tensor_parallel: T-shard the residual stream "
                    "between blocks (Megatron-SP)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="Fully-sharded data parallelism (ZeRO-3): shard every "
+                   "parameter and Adam moment over the data axis; per-chip "
+                   "state memory drops to params/n_chips (parallel/fsdp.py)")
     p.add_argument("--num_experts", type=int, default=0,
                    help="Mixture-of-experts: swap the MLP of every "
                    "--moe_layer_stride-th block for a top-k-routed MoE "
@@ -145,10 +150,10 @@ def main(argv=None) -> None:
     use_pp = args.pipeline_parallel > 1
     use_tp = args.tensor_parallel > 1
     use_ep = args.expert_parallel > 1
-    if sum([use_pp, use_tp, use_ep]) > 1:
+    if sum([use_pp, use_tp, use_ep, args.fsdp]) > 1:
         raise SystemExit(
-            "--pipeline_parallel, --tensor_parallel and --expert_parallel "
-            "are mutually exclusive"
+            "--pipeline_parallel, --tensor_parallel, --expert_parallel and "
+            "--fsdp are mutually exclusive"
         )
     if args.sequence_parallel and not use_tp:
         raise SystemExit("--sequence_parallel requires --tensor_parallel > 1")
@@ -177,12 +182,17 @@ def main(argv=None) -> None:
         mesh = mesh_lib.make_mesh()
 
     key = jax.random.PRNGKey(args.seed)
+    fsdp_shardings = None
     if use_pp:
         params, opt_state = init_pp_train_state(key, cfg, train_cfg, mesh)
     elif use_tp:
         params, opt_state = init_tp_train_state(key, cfg, train_cfg, mesh)
     elif use_ep:
         params, opt_state = init_ep_train_state(key, cfg, train_cfg, mesh)
+    elif args.fsdp:
+        params, opt_state, fsdp_shardings = init_fsdp_train_state(
+            key, cfg, train_cfg, mesh
+        )
     else:
         params, opt_state = init_train_state(key, cfg, train_cfg, mesh)
 
@@ -199,7 +209,8 @@ def main(argv=None) -> None:
         train_step, _ = make_pp_train_step(cfg, train_cfg, mesh, num_micro)
     else:
         train_step, _ = make_train_step(
-            cfg, train_cfg, mesh, sequence_parallel=args.sequence_parallel
+            cfg, train_cfg, mesh, sequence_parallel=args.sequence_parallel,
+            fsdp_state_shardings=fsdp_shardings,
         )
 
     dataset = TokenSequenceDataset.from_dir(
@@ -264,6 +275,11 @@ def main(argv=None) -> None:
             from protein_structure_tokenizer_tpu.parallel import tp
 
             params = tp.unshard_gpt_params(jax.device_get(params))
+        elif args.fsdp:
+            # all-gather the shards before the host transfer
+            params = jax.jit(
+                lambda p: p, out_shardings=mesh_lib.replicated_sharding(mesh)
+            )(params)
         host_params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
         if args.export_params.endswith(".joblib"):
             import joblib

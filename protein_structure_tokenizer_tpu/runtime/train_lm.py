@@ -107,11 +107,19 @@ def make_train_step(
     mesh,
     *,
     sequence_parallel: bool = False,
+    fsdp_state_shardings=None,
 ):
     """Data-parallel train step; with a "model" mesh axis (parallel/tp.py)
     the blocks run tensor-parallel (params pre-placed by shard_gpt_params,
     shardings inherited from the arguments) and ``sequence_parallel``
-    additionally T-shards the residual stream (Megatron-SP)."""
+    additionally T-shards the residual stream (Megatron-SP).
+
+    ``fsdp_state_shardings`` — a (param_shardings, opt_state_shardings)
+    pair from parallel/fsdp.py — pins the train state fully sharded over
+    the data axis instead of replicated (ZeRO-3): XLA all-gathers each
+    weight at its use site and reduce-scatters its gradient, and the
+    optimizer update runs on the local shard only.
+    """
     from protein_structure_tokenizer_tpu.parallel import ep, tp
 
     optimizer = make_optimizer(train_cfg)
@@ -121,7 +129,14 @@ def make_train_step(
     # Tensor-/expert-parallel params carry their own shardings; only pure
     # data-parallel pins everything replicated explicitly.
     sharded_params = tensor_parallel or expert_parallel
-    state_shardings = None if sharded_params else mesh_lib.replicated_sharding(mesh)
+    if fsdp_state_shardings is not None:
+        params_sh, opt_sh = fsdp_state_shardings
+        in_shardings = (params_sh, opt_sh, batch_shard)
+        out_shardings = (params_sh, opt_sh, None)
+    else:
+        state_shardings = None if sharded_params else mesh_lib.replicated_sharding(mesh)
+        in_shardings = (state_shardings, state_shardings, batch_shard)
+        out_shardings = None
 
     def loss_fn(params, tokens):
         return lm_loss(
@@ -132,7 +147,8 @@ def make_train_step(
 
     @functools.partial(
         jax.jit,
-        in_shardings=(state_shardings, state_shardings, batch_shard),
+        in_shardings=in_shardings,
+        out_shardings=out_shardings,
         donate_argnums=(0, 1),
     )
     def train_step(params, opt_state, tokens):
@@ -151,6 +167,30 @@ def init_train_state(
     params = gpt.init(key, model_cfg)
     opt_state = make_optimizer(train_cfg).init(params)
     return mesh_lib.replicate(mesh, params), mesh_lib.replicate(mesh, opt_state)
+
+
+def init_fsdp_train_state(
+    key: jax.Array, model_cfg: gpt.GptConfig, train_cfg: LmTrainConfig, mesh,
+    *, min_shard_elems: Optional[int] = None,
+):
+    """Fully-sharded train state (parallel/fsdp.py): params placed with their
+    FSDP shardings; Adam moments inherit them via eager ``zeros_like``;
+    scalar leaves (step counts) are pinned replicated.
+
+    Returns (params, opt_state, (param_shardings, opt_state_shardings)) —
+    pass the sharding pair to ``make_train_step(fsdp_state_shardings=...)``.
+    """
+    from protein_structure_tokenizer_tpu.parallel import fsdp
+
+    if min_shard_elems is None:
+        min_shard_elems = fsdp.MIN_SHARD_ELEMS
+    params = fsdp.shard_tree(
+        mesh, gpt.init(key, model_cfg), min_shard_elems=min_shard_elems
+    )
+    opt_state = make_optimizer(train_cfg).init(params)
+    opt_state = _place_stray_opt_leaves(opt_state, mesh)
+    shardings = jax.tree.map(lambda x: x.sharding, (params, opt_state))
+    return params, opt_state, shardings
 
 
 # ---------------------------------------------------------------------------
