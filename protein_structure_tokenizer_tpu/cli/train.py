@@ -31,6 +31,7 @@ from protein_structure_tokenizer_tpu.cli.common import (
     setup_logging,
 )
 from protein_structure_tokenizer_tpu.data.featurize import FeaturizeConfig
+from protein_structure_tokenizer_tpu.models import vq3d
 from protein_structure_tokenizer_tpu.models.config import preset
 from protein_structure_tokenizer_tpu.models.losses import FapeConfig, LossConfig
 from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
@@ -40,6 +41,7 @@ from protein_structure_tokenizer_tpu.runtime.preemption import GracefulPreemptio
 from protein_structure_tokenizer_tpu.runtime.dataset import DatasetConfig, StructureDataset
 from protein_structure_tokenizer_tpu.runtime.train import (
     TrainConfig,
+    init_fsdp_train_state,
     init_train_state,
     make_optimizer,
     make_train_step,
@@ -70,6 +72,10 @@ def parse_args(argv=None):
                    help="Fraction of layers trained with unclamped FAPE")
     p.add_argument("--seq_max", type=int, default=512,
                    help="Residue padding/ceiling (train longer-chain models than the reference's 512 cap)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="Fully-sharded data parallelism (ZeRO-3): shard "
+                   "params and Adam moments over the data axis "
+                   "(parallel/fsdp.py); exclusive with --context_parallel")
     p.add_argument("--context_parallel", type=int, default=1,
                    help="Row-shard the quadratic tensors (edge table, pair "
                    "track, IPA logits) over a ('data','ctx') mesh in forward "
@@ -111,6 +117,8 @@ def main(argv=None) -> None:
         grad_accum_steps=args.grad_accum_steps,
         loss=LossConfig(fape=FapeConfig(pct_unclamped=args.pct_unclamped)),
     )
+    if args.context_parallel > 1 and args.fsdp:
+        raise SystemExit("--fsdp is exclusive with --context_parallel")
     if args.context_parallel > 1:
         from protein_structure_tokenizer_tpu.parallel import cp
 
@@ -122,14 +130,27 @@ def main(argv=None) -> None:
     )
 
     key = jax.random.PRNGKey(args.seed)
-    params, opt_state = init_train_state(key, cfg, train_cfg, mesh)
-    if args.init_weights:
-        template = jax.tree_util.tree_map(np.asarray, params)
-        params = mesh_lib.replicate(
-            mesh, checkpoints.load_released_params(args.init_weights, template)
+    fsdp_shardings = None
+    if args.fsdp:
+        warm = None
+        if args.init_weights:
+            template = jax.tree_util.tree_map(
+                np.asarray, vq3d.init(key, cfg)
+            )
+            warm = checkpoints.load_released_params(args.init_weights, template)
+            logger.info("warm-started from %s", args.init_weights)
+        params, opt_state, fsdp_shardings = init_fsdp_train_state(
+            key, cfg, train_cfg, mesh, params=warm
         )
-        opt_state = mesh_lib.replicate(mesh, make_optimizer(train_cfg).init(params))
-        logger.info("warm-started from %s", args.init_weights)
+    else:
+        params, opt_state = init_train_state(key, cfg, train_cfg, mesh)
+        if args.init_weights:
+            template = jax.tree_util.tree_map(np.asarray, params)
+            params = mesh_lib.replicate(
+                mesh, checkpoints.load_released_params(args.init_weights, template)
+            )
+            opt_state = mesh_lib.replicate(mesh, make_optimizer(train_cfg).init(params))
+            logger.info("warm-started from %s", args.init_weights)
 
     ckpt = TrainCheckpointManager(
         args.checkpoint_dir, max_to_keep=args.max_to_keep, save_every=args.save_every
@@ -140,7 +161,7 @@ def main(argv=None) -> None:
         start_step, params, opt_state, key = restored
         start_step += 1
 
-    train_step, _ = make_train_step(cfg, train_cfg, mesh)
+    train_step, _ = make_train_step(cfg, train_cfg, mesh, fsdp_state_shardings=fsdp_shardings)
 
     data_cfg = DatasetConfig(
         featurize=FeaturizeConfig(
@@ -204,6 +225,11 @@ def main(argv=None) -> None:
                      "the same --checkpoint_dir", last_step)
         return
     if args.export_params and jax.process_index() == 0:
+        if args.fsdp:
+            # all-gather the shards before the host transfer
+            params = jax.jit(
+                lambda p: p, out_shardings=mesh_lib.replicated_sharding(mesh)
+            )(params)
         host_params = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
         checkpoints.save_params(host_params, args.export_params)
         logger.info("exported params to %s", args.export_params)

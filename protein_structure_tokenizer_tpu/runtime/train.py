@@ -82,7 +82,9 @@ def loss_fn(
     return losses["loss"], metrics
 
 
-def make_train_step(model_cfg: Vq3dConfig, train_cfg: TrainConfig, mesh):
+def make_train_step(
+    model_cfg: Vq3dConfig, train_cfg: TrainConfig, mesh, *, fsdp_state_shardings=None
+):
     """Build the jitted sharded train step: (params, opt_state, batch, rng)
     -> (params, opt_state, metrics).
 
@@ -90,18 +92,26 @@ def make_train_step(model_cfg: Vq3dConfig, train_cfg: TrainConfig, mesh):
     tensors — the encoder edge table, the pair track, the IPA logits — in
     BOTH the forward and (by AD transposition of the sharded ops) the
     backward pass: per-chip activation memory for the pair track scales
-    1/ctx, the binding constraint for long-chain training."""
+    1/ctx, the binding constraint for long-chain training.
+
+    ``fsdp_state_shardings`` (a (param, opt_state) sharding pair from
+    init_fsdp_train_state) instead pins the train state fully sharded over
+    the data axis — FSDP/ZeRO-3, same recipe as runtime/train_lm.py."""
     from protein_structure_tokenizer_tpu.parallel import cp
 
     optimizer = make_optimizer(train_cfg)
     replicated = mesh_lib.replicated_sharding(mesh)
     batch_shard = mesh_lib.batch_sharding(mesh)
     model_mesh = mesh if cp.has_ctx_axis(mesh) else None
+    if fsdp_state_shardings is not None:
+        params_sh, opt_sh = fsdp_state_shardings
+    else:
+        params_sh, opt_sh = replicated, replicated
 
     @functools.partial(
         jax.jit,
-        in_shardings=(replicated, replicated, batch_shard, replicated),
-        out_shardings=(replicated, replicated, replicated),
+        in_shardings=(params_sh, opt_sh, batch_shard, replicated),
+        out_shardings=(params_sh, opt_sh, replicated),
         donate_argnums=(0, 1),
     )
     def train_step(params, opt_state, batch, rng):
@@ -125,3 +135,27 @@ def init_train_state(
     params = mesh_lib.replicate(mesh, params)
     opt_state = mesh_lib.replicate(mesh, opt_state)
     return params, opt_state
+
+
+def init_fsdp_train_state(
+    key: jax.Array, model_cfg: Vq3dConfig, train_cfg: TrainConfig, mesh,
+    *, min_shard_elems: Optional[int] = None, params: Optional[Params] = None,
+):
+    """Fully-sharded tokenizer train state (parallel/fsdp.py; see
+    runtime/train_lm.init_fsdp_train_state).  ``params`` lets a warm start
+    (released weights) enter sharded directly.  Returns (params, opt_state,
+    (param_shardings, opt_state_shardings))."""
+    from protein_structure_tokenizer_tpu.parallel import fsdp
+    from protein_structure_tokenizer_tpu.runtime.train_lm import (
+        _place_stray_opt_leaves,
+    )
+
+    if min_shard_elems is None:
+        min_shard_elems = fsdp.MIN_SHARD_ELEMS
+    if params is None:
+        params = vq3d.init(key, model_cfg)
+    params = fsdp.shard_tree(mesh, params, min_shard_elems=min_shard_elems)
+    opt_state = make_optimizer(train_cfg).init(params)
+    opt_state = _place_stray_opt_leaves(opt_state, mesh)
+    shardings = jax.tree.map(lambda x: x.sharding, (params, opt_state))
+    return params, opt_state, shardings

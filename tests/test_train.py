@@ -218,3 +218,47 @@ def test_context_parallel_train_step_matches(corpus_dir):
         p_dp,
         p_cp,
     )
+
+
+def test_fsdp_tokenizer_train_step_matches(corpus_dir):
+    """FSDP tokenizer training (params + moments sharded over 'data',
+    parallel/fsdp.py) is a pure layout change: loss and updated params match
+    replicated data parallelism, and the bulk of state memory lives 1/n per
+    device."""
+    from protein_structure_tokenizer_tpu.parallel import fsdp
+    from protein_structure_tokenizer_tpu.runtime.train import init_fsdp_train_state
+
+    cfg = tiny_preset(seq_max=SEQ_MAX, k=K, downsampling=DF, dim=16)
+    train_cfg = TrainConfig(learning_rate=3e-4)
+    ds = StructureDataset.from_dir(corpus_dir, DatasetConfig(featurize=featurize_config()))
+    key = jax.random.PRNGKey(7)
+    mesh = mesh_lib.make_mesh()
+    batch = mesh_lib.shard_batch(mesh, next(ds.batches(global_batch=8)))
+
+    dp_params, dp_opt = init_train_state(jax.random.PRNGKey(3), cfg, train_cfg, mesh)
+    dp_step, _ = make_train_step(cfg, train_cfg, mesh)
+
+    fs_params, fs_opt, fs_sh = init_fsdp_train_state(
+        jax.random.PRNGKey(3), cfg, train_cfg, mesh, min_shard_elems=1
+    )
+    assert fsdp.num_sharded_leaves(fs_params) > 0
+    fs_step, _ = make_train_step(cfg, train_cfg, mesh, fsdp_state_shardings=fs_sh)
+
+    dp_params, dp_opt, dp_m = dp_step(dp_params, dp_opt, batch, key)
+    fs_params, fs_opt, fs_m = fs_step(fs_params, fs_opt, batch, key)
+    dp_params, _, dp_m2 = dp_step(dp_params, dp_opt, batch, key)
+    fs_params, _, fs_m2 = fs_step(fs_params, fs_opt, batch, key)
+
+    np.testing.assert_allclose(float(fs_m["loss"]), float(dp_m["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(fs_m2["loss"]), float(dp_m2["loss"]), rtol=1e-5)
+    assert fsdp.num_sharded_leaves(fs_params) > 0
+    # Adam amplifies grad-reduction-order noise on near-zero leaves (update
+    # = lr·m/(√v+ε) is scale-free), so give params a loose absolute bound:
+    # a layout bug would show O(1) mismatches, not 1e-4.
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4
+        ),
+        jax.device_get(dp_params),
+        jax.device_get(fs_params),
+    )
