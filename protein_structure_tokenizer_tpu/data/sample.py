@@ -180,6 +180,11 @@ def parse_pdb_string(pdb_str: str, chain_id: Optional[str] = None) -> ProteinSam
         elif record == "ENDMDL":
             in_model = False
         elif record in ("ATOM  ", "HETATM"):
+            if len(line.rstrip("\r\n")) < 54:
+                raise ValueError(
+                    f"truncated {record.strip()} record (needs the 54-column "
+                    f"coordinate block): {line.rstrip()!r}"
+                )
             atom_name = line[12:16].strip()
             altloc = line[16]
             resname = line[17:20].strip()
@@ -250,14 +255,16 @@ def _residues_to_sample(
 
     n = len(positions)
     one_hot = np.zeros((n, 21), dtype=np.float32)
-    one_hot[np.arange(n), np.asarray(aatype, dtype=np.int64)] = 1.0
+    if n:
+        one_hot[np.arange(n), np.asarray(aatype, dtype=np.int64)] = 1.0
     return ProteinSample(
         chain_id=chain_id,
         nb_residues=n,
         aatype=one_hot,
-        atom37_positions=np.asarray(positions),
-        atom37_gt_exists=np.asarray(gt_exists).astype(bool),
-        atom37_atom_exists=np.asarray(atom_exists).astype(bool),
+        # reshape keeps the (0, 37, ...) trailing dims for empty inputs
+        atom37_positions=np.asarray(positions, np.float64).reshape(n, 37, 3),
+        atom37_gt_exists=np.asarray(gt_exists).astype(bool).reshape(n, 37),
+        atom37_atom_exists=np.asarray(atom_exists).astype(bool).reshape(n, 37),
     )
 
 
