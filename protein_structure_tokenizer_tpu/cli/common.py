@@ -113,8 +113,10 @@ def build_runner(args) -> InferenceRunner:
         import jax.numpy as jnp
 
         compute_dtype = jnp.bfloat16
+    buckets = "auto" if getattr(args, "length_buckets", True) else None
     return InferenceRunner(
-        cfg, params, mesh, exact_aggregation=args.exact, compute_dtype=compute_dtype
+        cfg, params, mesh, exact_aggregation=args.exact,
+        compute_dtype=compute_dtype, length_buckets=buckets,
     )
 
 

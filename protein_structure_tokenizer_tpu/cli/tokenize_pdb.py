@@ -26,6 +26,13 @@ def main(argv=None) -> None:
     parser.add_argument("--token_save_path", type=str, required=True)
     parser.add_argument("--num_featurize_workers", type=int, default=0)
     parser.add_argument(
+        "--no_length_buckets",
+        dest="length_buckets",
+        action="store_false",
+        help="Always pad to seq_max like the reference instead of per-batch "
+        "length buckets (tokens are bit-identical either way).",
+    )
+    parser.add_argument(
         "--skip_invalid",
         action="store_true",
         help="Log and skip structures that fail featurization instead of "

@@ -29,10 +29,7 @@ from protein_structure_tokenizer_tpu.models.gnn import (
 )
 from protein_structure_tokenizer_tpu.models.layers import linear, linear_init
 from protein_structure_tokenizer_tpu.parallel import cp
-from protein_structure_tokenizer_tpu.models.posenc import (
-    node_positional_embeddings,
-    sinusoidal_features,
-)
+from protein_structure_tokenizer_tpu.models.posenc import sinusoidal_features
 from protein_structure_tokenizer_tpu.models.seq_decoder import (
     sequence_decoder,
     sequence_decoder_init,
@@ -91,20 +88,25 @@ def structure_encoder(
     p = subtree(params, SCOPE_ENCODER)
     batch = graph.edge_features.shape[0]
     seq_max = cfg.data.seq_max_size
+    # Runtime padded length may be a shorter LENGTH BUCKET (runner
+    # length-bucketing): shapes follow n_pad, but every positional encoding
+    # keeps seq_max as its base so valid rows are bit-identical to a
+    # full-seq_max padding (the reference always pads to 512 — same base).
+    n_pad = graph.nodes_mask.shape[1]
     pe_dim = enc.positional_encoding_dimension
 
-    node_pe = node_positional_embeddings(seq_max, pe_dim)
+    node_pe = sinusoidal_features(jnp.arange(n_pad), seq_max, pe_dim)
     node_feats = linear(p["init_node_embed"], node_pe)  # (N, D) — identical per sample
     node_feats = jnp.broadcast_to(node_feats[None], (batch,) + node_feats.shape)
 
     if use_onehot is None:
         use_onehot = jax.default_backend() == "tpu"
-    fast = canonical_receivers and not exact_aggregation and use_onehot and seq_max <= 2048
+    fast = canonical_receivers and not exact_aggregation and use_onehot and n_pad <= 2048
     # The sender one-hot turns every row gather in the encoder into an MXU
     # matmul; built ONCE here and reused by the edge PE below and by every
     # GNN layer's message/edge-update gathers.
     sender_onehot = (
-        jax.nn.one_hot(graph.senders, seq_max, dtype=jnp.bfloat16) if fast else None
+        jax.nn.one_hot(graph.senders, n_pad, dtype=jnp.bfloat16) if fast else None
     )
     if sender_onehot is not None:
         sender_onehot = cp.constrain(sender_onehot, mesh, cp.EDGE_SPEC)
@@ -120,11 +122,11 @@ def structure_encoder(
         # batched matmul over the existing one-hot (no new gather).
         w = p["init_edge_embed"]["w"]
         pe_table = sinusoidal_features(
-            jnp.arange(-(seq_max - 1), seq_max), seq_max, pe_dim
+            jnp.arange(-(n_pad - 1), n_pad), seq_max, pe_dim
         )  # (2N-1, PE)
         t2 = jnp.matmul(pe_table, w[:pe_dim], preferred_element_type=jnp.float32)
         shift_idx = (
-            jnp.arange(seq_max)[None, :] - jnp.arange(seq_max)[:, None] + seq_max - 1
+            jnp.arange(n_pad)[None, :] - jnp.arange(n_pad)[:, None] + n_pad - 1
         )
         t2_shift = jnp.take(t2, shift_idx, axis=0)  # (N, N, D)
         geom_part = jnp.matmul(
@@ -134,10 +136,10 @@ def structure_encoder(
         if b is not None:
             geom_part = geom_part + b
         num_edges = graph.edge_features.shape[1]
-        k_slots = num_edges // seq_max
+        k_slots = num_edges // n_pad
         pe_part = jnp.einsum(
             "bnks,nsd->bnkd",
-            sender_onehot.reshape(batch, seq_max, k_slots, seq_max),
+            sender_onehot.reshape(batch, n_pad, k_slots, n_pad),
             t2_shift,
             preferred_element_type=jnp.float32,
         ).reshape(batch, num_edges, -1)
@@ -181,8 +183,10 @@ def _down_attention_mask(cfg: Vq3dConfig, nodes_mask, tokens_mask, exact: bool =
     else:
         mask = base[:, None]  # (B, 1, T, N)
     if cfg.down_local_attn or cfg.down_causal_attn:
+        # slice to the runtime padded node count (length buckets < seq_max)
+        n_pad = nodes_mask.shape[-2]
         local = _local_window_mask(cfg.data.seq_max_size, cfg.data.downsampling_ratio)
-        local = local[None, None]  # (1, 1, T, N)
+        local = local[:, :n_pad][None, None]  # (1, 1, T, N)
         if cfg.down_local_attn:
             mask = local * mask
         else:  # causal: token t sees residues up to (t+1)*df
@@ -199,8 +203,9 @@ def _up_attention_mask(cfg: Vq3dConfig, nodes_mask, tokens_mask, exact: bool = F
     else:
         mask = jnp.swapaxes(base[:, None], -1, -2)  # (B, 1, N, T)
     if cfg.up_local_attn:
+        n_pad = nodes_mask.shape[-2]
         local = _local_window_mask(cfg.data.seq_max_size, cfg.data.downsampling_ratio)
-        mask = mask * jnp.swapaxes(local, -1, -2)[None, None]
+        mask = mask * jnp.swapaxes(local[:, :n_pad], -1, -2)[None, None]
     return mask
 
 

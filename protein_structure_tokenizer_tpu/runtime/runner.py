@@ -28,6 +28,7 @@ import numpy as np
 
 from protein_structure_tokenizer_tpu.data import featurize as featurize_lib
 from protein_structure_tokenizer_tpu.data.protein_io import Protein, to_pdb
+from protein_structure_tokenizer_tpu.data.sample import parse_structure_file
 from protein_structure_tokenizer_tpu.data.types import ProteinGraphBatch
 from protein_structure_tokenizer_tpu.models import vq3d
 from protein_structure_tokenizer_tpu.models.config import Vq3dConfig
@@ -91,6 +92,31 @@ def collate_graphs(graph_dicts: Sequence[dict]) -> ProteinGraphBatch:
         senders=stacked["senders"],
         receivers=stacked["receivers"],
     )
+
+
+def pad_tokens_axis(batch: ProteinGraphBatch, t_full: int) -> ProteinGraphBatch:
+    """Zero-pad tokens_mask to the model's full query length.
+
+    The downsampler always emits ``max_out_len`` queries (their sinusoidal
+    PE base is bound to it), so bucketed graphs — whose featurizer-built
+    tokens_mask is only ``bucket/df`` long — pad it with zero (masked) rows."""
+    tm = np.asarray(batch.tokens_mask)
+    if tm.shape[1] >= t_full:
+        return batch
+    tm = np.pad(tm, ((0, 0), (0, t_full - tm.shape[1]), (0, 0)))
+    return dataclasses.replace(batch, tokens_mask=tm)
+
+
+def default_length_buckets(config) -> Optional[tuple]:
+    """Quarter-point padding buckets up to seq_max, rounded up to a
+    df-and-8-divisible boundary (8 keeps the node axis sublane-friendly)."""
+    seq = config.data.seq_max_size
+    df = config.data.downsampling_ratio
+    mult = df * 8 if seq % (df * 8) == 0 else df
+    buckets = sorted(
+        {min(seq, -(-max(seq // 4 * i, mult) // mult) * mult) for i in (1, 2, 3, 4)}
+    )
+    return tuple(buckets) if len(buckets) > 1 else None
 
 
 _RUN_SENTINEL = ".pst_run"
@@ -161,6 +187,7 @@ class InferenceRunner:
         num_featurize_workers: int = 0,
         compute_dtype=None,
         context_parallel: int = 1,
+        length_buckets="auto",
     ):
         """``compute_dtype=jnp.bfloat16`` runs the forward matmuls in bf16
         (2x MXU, half HBM traffic) with f32 islands for FSQ rounding, IPA
@@ -170,10 +197,36 @@ class InferenceRunner:
 
         ``context_parallel > 1`` decodes on a ("data", "ctx") mesh with the
         quadratic pair track row-sharded over "ctx" (parallel/cp.py): per-chip
-        pair memory and pair FLOPs scale 1/ctx."""
+        pair memory and pair FLOPs scale 1/ctx.
+
+        ``length_buckets`` — tokenize pads each batch to the smallest bucket
+        that fits its longest chain instead of always seq_max (the reference
+        pads everything to 512, inference_runner.py:191-216; CASP14 averages
+        181 residues, so ~65% of its edge-table FLOPs/bytes are padding).
+        Positional-encoding bases stay bound to seq_max, so token ids are
+        bit-identical to full padding (tests/test_buckets.py).  "auto"
+        derives quarter-point buckets from seq_max; pass a sequence for
+        custom buckets or None/() to disable.  One XLA compilation per
+        bucket.  Disabled under ``exact_aggregation`` (bitwise-activation
+        conformance keeps the reference's shapes)."""
         if compute_dtype is not None and exact_aggregation:
             raise ValueError("exact_aggregation requires full f32 compute")
         self.config = config
+        if length_buckets == "auto":
+            self.length_buckets = (
+                None if exact_aggregation else default_length_buckets(config)
+            )
+        elif length_buckets:
+            df = config.data.downsampling_ratio
+            bad = [b for b in length_buckets if b % df or b > config.data.seq_max_size]
+            if bad:
+                raise ValueError(
+                    f"length_buckets must be df={df}-divisible and <= seq_max="
+                    f"{config.data.seq_max_size}; got {bad}"
+                )
+            self.length_buckets = tuple(sorted(set(length_buckets)))
+        else:
+            self.length_buckets = None
         if mesh is not None:
             self.mesh = mesh
         elif context_parallel > 1:
@@ -274,11 +327,13 @@ class InferenceRunner:
 
     # -- featurization ------------------------------------------------------
     def featurize(
-        self, pdb_paths: Sequence[str], *, skip_invalid: bool = False
+        self, pdb_paths: Sequence[str], *, skip_invalid: bool = False,
+        padding: Optional[int] = None,
     ) -> List[dict]:
         """Featurize paths; with ``skip_invalid`` a failing sample yields a
         ``{"__error__": ...}`` marker instead of raising (the reference
-        fail-fasts its whole batch; production batch jobs want isolation)."""
+        fail-fasts its whole batch; production batch jobs want isolation).
+        ``padding`` overrides the node padding (length buckets)."""
         cfg = self.config.data
         args = [
             (
@@ -286,7 +341,7 @@ class InferenceRunner:
                 cfg.graph_max_neighbor,
                 cfg.downsampling_ratio,
                 cfg.graph_residue_loc_is_alphac,
-                cfg.seq_max_size,
+                padding or cfg.seq_max_size,
             )
             for p in pdb_paths
         ]
@@ -330,8 +385,32 @@ class InferenceRunner:
         timers = StageTimers()
 
         global_batch = mesh_lib.global_batch_size(self.mesh, batch_size_per_device)
+
+        lengths: dict = {}
+        if self.length_buckets:
+            # Cheap pre-scan (parse only, no featurization): chain lengths
+            # drive bucket choice and an ascending sort that keeps batches
+            # length-homogeneous.  Every host scans the full list so all
+            # processes agree on batch composition and bucket sizes.
+            with timers.annotated_stage("length_scan"):
+                for p in pdb_paths:
+                    try:
+                        lengths[p] = parse_structure_file(p).nb_residues
+                    except Exception:  # noqa: BLE001 — featurize re-raises properly
+                        lengths[p] = self.config.data.seq_max_size
+            pdb_paths = sorted(pdb_paths, key=lambda p: (lengths[p], p))
+
         num_iterations = -(-len(pdb_paths) // global_batch)
         padded_paths = list(islice(cycle(pdb_paths), num_iterations * global_batch))
+
+        def chunk_padding(chunk) -> Optional[int]:
+            if not self.length_buckets:
+                return None
+            longest = max(lengths[p] for p in chunk)
+            return next(
+                (b for b in self.length_buckets if b >= longest),
+                self.config.data.seq_max_size,
+            )
 
         results = {}
         iterator = range(num_iterations)
@@ -351,7 +430,10 @@ class InferenceRunner:
             with timers.annotated_stage("featurize"):
                 # Each host featurizes only the rows it feeds to its own
                 # devices; single-process runs featurize everything.
-                graphs = self.featurize(chunk[local], skip_invalid=skip_invalid)
+                graphs = self.featurize(
+                    chunk[local], skip_invalid=skip_invalid,
+                    padding=chunk_padding(chunk),
+                )
             failed_rows = set()
             if skip_invalid:
                 donor = next((g for g in graphs if "__error__" not in g), None)
@@ -366,6 +448,9 @@ class InferenceRunner:
                     return chunk, failed_rows, None, None
             with timers.annotated_stage("collate+shard"):
                 local_batch = collate_graphs(graphs)
+                local_batch = pad_tokens_axis(
+                    local_batch, self.config.down_sampler.max_out_len
+                )
                 batch = mesh_lib.shard_batch_from_local(
                     self.mesh, local_batch, global_batch
                 )
