@@ -29,6 +29,14 @@ def main(argv=None) -> None:
         default=None,
         help="Mask-building pad id; defaults to the released configs' 4097.",
     )
+    parser.add_argument(
+        "--no_length_buckets",
+        dest="length_buckets",
+        action="store_false",
+        help="Always pad to seq_max like the reference instead of per-batch "
+        "length buckets (coordinates may differ ~1e-4 relative between the "
+        "two due to reduction order; tokens paths are bit-identical).",
+    )
     add_model_args(parser)
     args = parser.parse_args(argv)
 

@@ -177,10 +177,19 @@ def cross_attention_scaler(
     attn_mask: jax.Array,  # (B, H, T_out, L_in)
     output_mask: jax.Array,  # unused by the math; kept for API parity
     input_mask: jax.Array,  # unused by the math; kept for API parity
+    *,
+    out_len: Optional[int] = None,
+    in_pos_base: Optional[int] = None,
 ) -> jax.Array:
     """Learned-query resampler: T_out sinusoidal queries cross-attend L_in keys.
 
     Returns (B, T_out, out_emb_size).
+
+    Length-bucketing hooks (runtime arrays shorter than the configured
+    lengths, bit-identical rows — see runner length buckets): ``out_len``
+    emits only the first ``out_len`` queries (their sinusoidal PE base stays
+    ``max_out_len``); ``in_pos_base`` overrides the input-track PE base when
+    ``use_original_posenc`` (the input may be padded to a shorter bucket).
     """
     del output_mask, input_mask
     batch = single_act.shape[0]
@@ -194,14 +203,18 @@ def cross_attention_scaler(
     if cfg.use_original_posenc:
         in_dim = cfg.positional_encoding_dimension
         length = single_act.shape[-2]
-        in_pos = sinusoidal_features(jnp.arange(length), length, in_dim)
+        in_pos = sinusoidal_features(
+            jnp.arange(length), in_pos_base or length, in_dim
+        )
         in_pos = jnp.broadcast_to(in_pos[None], (batch,) + in_pos.shape)
         original = jnp.concatenate([in_pos.astype(dtype), single_act], axis=-1)
         original = linear(params["linear_proj_original"], original)
 
     offset = cfg.use_global_node if cfg.use_global_node else 0
     t_out = cfg.max_out_len + offset
-    resampled = sinusoidal_features(jnp.arange(t_out), t_out, cfg.out_emb_size)
+    resampled = sinusoidal_features(
+        jnp.arange(out_len + offset if out_len else t_out), t_out, cfg.out_emb_size
+    )
     resampled = jnp.broadcast_to(resampled[None], (batch,) + resampled.shape)
     resampled = resampled.astype(dtype)
 

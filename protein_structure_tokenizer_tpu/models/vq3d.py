@@ -361,6 +361,11 @@ def decode(
     attn_mask = _up_attention_mask(cfg, nodes_mask, tokens_mask, exact=exact)
     out_mask = nodes_mask
 
+    # Length buckets (runner): the token track and nodes_mask may be padded
+    # to a bucket shorter than the configured lengths — emit only that many
+    # upsampler queries and keep both PE bases bound to the full lengths, so
+    # valid rows are bit-identical to full padding.
+    n_pad = nodes_mask.shape[1]
     seq_decoded = cross_attention_scaler(
         subtree(params, SCOPE_UP),
         cfg.up_sampler,
@@ -368,6 +373,8 @@ def decode(
         attn_mask,
         out_mask,
         tokens_mask,
+        out_len=n_pad if n_pad != cfg.up_sampler.max_out_len else None,
+        in_pos_base=cfg.down_sampler.max_out_len,
     )
 
     if cfg.up_sampler_normalization == "spherical":

@@ -512,12 +512,15 @@ class InferenceRunner:
 
     # -- decode -------------------------------------------------------------
     def pad_token_rows(
-        self, sequences: Sequence[np.ndarray], pad_token_id: Optional[int] = None
+        self, sequences: Sequence[np.ndarray], pad_token_id: Optional[int] = None,
+        effective_len: Optional[int] = None,
     ) -> np.ndarray:
-        """Right-pad variable-length token sequences to (B, seq_max/df)."""
+        """Right-pad variable-length token sequences to (B, seq_max/df);
+        ``effective_len`` overrides the row length (length buckets)."""
         cfg = self.config.data
         pad_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
-        effective_len = cfg.seq_max_size // cfg.downsampling_ratio
+        if effective_len is None:
+            effective_len = cfg.seq_max_size // cfg.downsampling_ratio
         rows = []
         for seq in sequences:
             seq = np.asarray(seq, np.int32).reshape(-1)[:effective_len]
@@ -572,8 +575,31 @@ class InferenceRunner:
             _make_output_dir(structure_dir)
 
         global_batch = mesh_lib.global_batch_size(self.mesh, batch_size_per_device)
+
+        token_counts: dict = {}
+        if self.length_buckets:
+            # Sort by token count so batches stay length-homogeneous; each
+            # batch decodes at the smallest node bucket that fits (the pair
+            # track is O(N^2), so the bucket win is quadratic here).
+            for path in token_files:
+                try:
+                    token_counts[path] = int(np.load(path).reshape(-1).shape[0])
+                except Exception:
+                    token_counts[path] = cfg.seq_max_size // cfg.downsampling_ratio
+            token_files = sorted(token_files, key=lambda q: (token_counts[q], q))
+
         num_iterations = -(-len(token_files) // global_batch)
         padded_files = list(islice(cycle(token_files), num_iterations * global_batch))
+
+        def chunk_token_len(chunk) -> Optional[int]:
+            if not self.length_buckets:
+                return None
+            df = cfg.downsampling_ratio
+            longest = max(token_counts[q] for q in chunk) * df
+            bucket = next(
+                (b for b in self.length_buckets if b >= longest), cfg.seq_max_size
+            )
+            return bucket // df
 
         results = {}
         iterator = range(num_iterations)
@@ -613,7 +639,8 @@ class InferenceRunner:
                 chunk = padded_files[it * global_batch : (it + 1) * global_batch]
                 with timers.annotated_stage("load+mask"):
                     tokens_ids = self.pad_token_rows(
-                        [np.load(path) for path in chunk], pad_id
+                        [np.load(path) for path in chunk], pad_id,
+                        effective_len=chunk_token_len(chunk),
                     )
                 with timers.annotated_stage("dispatch"):
                     num_nodes, out = self.dispatch_decode(tokens_ids, pad_id)
