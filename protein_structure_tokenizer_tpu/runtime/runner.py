@@ -680,13 +680,15 @@ class InferenceRunner:
         from protein_structure_tokenizer_tpu.runtime.dataset import collate_features
 
         cfg = self.config.data
-        fcfg = FeaturizeConfig(
-            num_neighbor=cfg.graph_max_neighbor,
-            downsampling_ratio=cfg.downsampling_ratio,
-            residue_loc_is_alphac=cfg.graph_residue_loc_is_alphac,
-            padding_num_residue=cfg.seq_max_size,
-            crop_index=cfg.seq_max_size,
-        )
+
+        def make_fcfg(padding: int) -> FeaturizeConfig:
+            return FeaturizeConfig(
+                num_neighbor=cfg.graph_max_neighbor,
+                downsampling_ratio=cfg.downsampling_ratio,
+                residue_loc_is_alphac=cfg.graph_residue_loc_is_alphac,
+                padding_num_residue=padding,
+                crop_index=padding,
+            )
 
         structure_dir = None
         if save_path is not None:
@@ -694,6 +696,13 @@ class InferenceRunner:
             os.makedirs(structure_dir, exist_ok=jax.process_index() != 0)
 
         global_batch = mesh_lib.global_batch_size(self.mesh, batch_size_per_device)
+
+        parsed = {p: parse_structure_file(p) for p in dict.fromkeys(pdb_paths)}
+        if self.length_buckets:
+            # Same batching as tokenize: length-sorted inputs, each batch
+            # padded to the smallest bucket that fits (see tokenize()).
+            pdb_paths = sorted(pdb_paths, key=lambda q: (parsed[q].nb_residues, q))
+
         num_iterations = -(-len(pdb_paths) // global_batch)
         padded_paths = list(islice(cycle(pdb_paths), num_iterations * global_batch))
 
@@ -701,9 +710,20 @@ class InferenceRunner:
         all_metrics: dict = {}
         for it in range(num_iterations):
             chunk = padded_paths[it * global_batch : (it + 1) * global_batch]
-            samples = [parse_structure_file(p) for p in chunk]
+            samples = [parsed[p] for p in chunk]
+            padding = cfg.seq_max_size
+            if self.length_buckets:
+                longest = max(s_.nb_residues for s_ in samples)
+                padding = next(
+                    (b for b in self.length_buckets if b >= longest),
+                    cfg.seq_max_size,
+                )
+            fcfg = make_fcfg(padding)
             featurized = [preprocess_sample(s, fcfg) for s in samples]
-            graph = collate_graphs([_dc.asdict(g) for g, _ in featurized])
+            graph = pad_tokens_axis(
+                collate_graphs([_dc.asdict(g) for g, _ in featurized]),
+                self.config.down_sampler.max_out_len,
+            )
             features = collate_features([f for _, f in featurized])
             batch = TokenizerBatch(graph=graph, features=features)
 
