@@ -49,6 +49,7 @@ from protein_structure_tokenizer_tpu.data.sample import parse_pdb_string
 from protein_structure_tokenizer_tpu.runtime.runner import (
     InferenceRunner,
     collate_graphs,
+    pad_tokens_axis,
 )
 
 logger = logging.getLogger(__name__)
@@ -141,22 +142,35 @@ class BatchingEngine:
                 f"protein has {sample.nb_residues} residues < k "
                 f"{cfg.graph_max_neighbor}"
             )
+        padding = self._bucket_for(sample.nb_residues)
         graph, _ = preprocess_sample(
             sample,
             FeaturizeConfig(
                 num_neighbor=cfg.graph_max_neighbor,
                 downsampling_ratio=cfg.downsampling_ratio,
                 residue_loc_is_alphac=cfg.graph_residue_loc_is_alphac,
-                padding_num_residue=cfg.seq_max_size,
-                crop_index=cfg.seq_max_size,
+                padding_num_residue=padding,
+                crop_index=padding,
             ),
         )
-        return self._submit("tokenize", graph)
+        return self._submit("tokenize", (padding, graph))
 
     def decode_tokens(self, tokens: Sequence[int]) -> dict:
         """Token ids -> {"final_atom_positions": (N,37,3), "final_atom_mask",
         "n_residues"}."""
-        return self._submit("decode", np.asarray(tokens, np.int32))
+        cfg = self.runner.config.data
+        arr = np.asarray(tokens, np.int32)
+        bucket = self._bucket_for(arr.reshape(-1).shape[0] * cfg.downsampling_ratio)
+        return self._submit("decode", (bucket, arr))
+
+    def _bucket_for(self, num_residues: int) -> int:
+        """Smallest length bucket fitting the request (serving latency: a
+        128-residue request dispatches a 128-shaped executable, not 512)."""
+        buckets = self.runner.length_buckets
+        seq_max = self.runner.config.data.seq_max_size
+        if not buckets:
+            return seq_max
+        return next((b for b in buckets if b >= num_residues), seq_max)
 
     def close(self):
         self._stop.set()
@@ -219,38 +233,54 @@ class BatchingEngine:
         """Repeat the last row up to max_batch: the executable has ONE shape."""
         return items + [items[-1]] * (self.max_batch - len(items))
 
+    @staticmethod
+    def _bucket_groups(batch: List[_Request]):
+        """Group request indices by their payload's length bucket — one
+        static-shape dispatch per bucket present in the window."""
+        groups: dict = {}
+        for i, req in enumerate(batch):
+            bucket, _ = req.payload
+            groups.setdefault(bucket, []).append(i)
+        return groups
+
     def _run_tokenize(self, batch: List[_Request]) -> List[np.ndarray]:
         import dataclasses as dc
 
-        graphs = self._pad_rows([dc.asdict(r.payload) for r in batch])
-        collated = collate_graphs(graphs)
-        device_batch = mesh_lib.shard_batch(self.runner.mesh, collated)
-        out = self.runner.tokenize_fn(self.runner.params, device_batch)
-        tokens = np.asarray(jax.device_get(out["tokens"]))
-        tokens_mask = np.asarray(collated.tokens_mask)
-        results = []
-        for i in range(len(batch)):
-            n = int(tokens_mask[i].sum())
-            results.append(tokens[i, :n].astype(np.uint32))
+        results: List = [None] * len(batch)
+        for bucket, idxs in self._bucket_groups(batch).items():
+            graphs = self._pad_rows(
+                [dc.asdict(batch[i].payload[1]) for i in idxs]
+            )
+            collated = pad_tokens_axis(
+                collate_graphs(graphs), self.runner.config.down_sampler.max_out_len
+            )
+            device_batch = mesh_lib.shard_batch(self.runner.mesh, collated)
+            out = self.runner.tokenize_fn(self.runner.params, device_batch)
+            tokens = np.asarray(jax.device_get(out["tokens"]))
+            tokens_mask = np.asarray(collated.tokens_mask)
+            for row, i in enumerate(idxs):
+                n = int(tokens_mask[row].sum())
+                results[i] = tokens[row, :n].astype(np.uint32)
         return results
 
     def _run_decode(self, batch: List[_Request]) -> List[dict]:
-        rows = self.runner.pad_token_rows(
-            self._pad_rows([r.payload for r in batch])
-        )
-        num_nodes, out = self.runner.dispatch_decode(rows)
-        pos = np.asarray(jax.device_get(out["final_atom_positions"]))
-        mask = np.asarray(jax.device_get(out["final_atom_mask"]))
-        results = []
-        for i in range(len(batch)):
-            n = int(num_nodes[i])
-            results.append(
-                {
-                    "final_atom_positions": pos[i, :n],
-                    "final_atom_mask": mask[i, :n],
+        cfg = self.runner.config.data
+        results: List = [None] * len(batch)
+        for bucket, idxs in self._bucket_groups(batch).items():
+            rows = self.runner.pad_token_rows(
+                self._pad_rows([batch[i].payload[1] for i in idxs]),
+                effective_len=bucket // cfg.downsampling_ratio,
+            )
+            num_nodes, out = self.runner.dispatch_decode(rows)
+            pos = np.asarray(jax.device_get(out["final_atom_positions"]))
+            mask = np.asarray(jax.device_get(out["final_atom_mask"]))
+            for row, i in enumerate(idxs):
+                n = int(num_nodes[row])
+                results[i] = {
+                    "final_atom_positions": pos[row, :n],
+                    "final_atom_mask": mask[row, :n],
                     "n_residues": n,
                 }
-            )
         return results
 
 

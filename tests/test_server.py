@@ -201,3 +201,33 @@ def test_generate_without_weights_rejected(served):
     status, data = _post(server.port, "/generate", b"{}")
     assert status == 400
     assert "GPT weights" in json.loads(data)["error"]
+
+
+def test_mixed_bucket_window_matches_unbucketed():
+    """Requests landing in one scheduler window but belonging to DIFFERENT
+    length buckets are dispatched as separate static-shape groups, each
+    request still getting its own correct answer."""
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    cfg = tiny_preset(seq_max=SEQ_MAX, k=K, downsampling=DF, dim=16)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+
+    bucketed = BatchingEngine(
+        InferenceRunner(cfg, params, length_buckets=(8, SEQ_MAX)),
+        max_batch=8, max_wait_ms=50.0,
+    )
+    plain = BatchingEngine(
+        InferenceRunner(cfg, params, length_buckets=None),
+        max_batch=8, max_wait_ms=5.0,
+    )
+    try:
+        pdbs = [sample_pdb_text(seed=i, n_res=n)
+                for i, n in enumerate((6, 6, 14, 14))]
+        with _TPE(4) as pool:
+            got = list(pool.map(bucketed.tokenize_pdb_string, pdbs))
+        expected = [plain.tokenize_pdb_string(p) for p in pdbs]
+        for g, e in zip(got, expected):
+            np.testing.assert_array_equal(g, e)
+    finally:
+        bucketed.close()
+        plain.close()
