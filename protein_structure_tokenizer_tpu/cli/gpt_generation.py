@@ -66,6 +66,10 @@ def main(argv=None) -> None:
                         help="MoE architecture override (cli.train_lm MoE LMs)")
     parser.add_argument("--num_selected_experts", type=int, default=2)
     parser.add_argument("--moe_layer_stride", type=int, default=1)
+    parser.add_argument("--stop_at_eos", action="store_true",
+                        help="Exit the sampling loop once every row has "
+                        "emitted EOS (typical proteins need ~180 of the 514 "
+                        "steps; stripped outputs are identical)")
     parser.add_argument("--no_cache", action="store_true",
                         help="reference-equivalent full-forward sampling")
     parser.add_argument("--backend", type=str, default=None,
@@ -159,6 +163,7 @@ def main(argv=None) -> None:
             num_tokens=cfg.max_position_embeddings,
             method=args.sampling_method,
             use_cache=not args.no_cache,
+            stop_at_eos=args.stop_at_eos,
             mesh=mesh,
             **kwargs,
         )

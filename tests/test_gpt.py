@@ -151,3 +151,38 @@ def test_strip_special_tokens():
     seq = np.array([32, 5, 7, 33, 9, 33])
     out = sampling.strip_special_tokens(seq, 32, 33)
     np.testing.assert_array_equal(out, [5, 7])
+
+
+def test_stop_at_eos_matches_full_block():
+    """Early-exit generation: stripped sequences identical to the full-block
+    run (pre-EOS prefixes sample the same RNG stream), and the loop may stop
+    well before num_tokens."""
+    cfg = SMALL
+    params = gpt.init(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(7)
+
+    full = sampling.generate(
+        params, cfg, key, batch_size=4, num_tokens=24, method="temperature",
+        temperature=2.0,
+    )
+    early = sampling.generate(
+        params, cfg, key, batch_size=4, num_tokens=24, method="temperature",
+        temperature=2.0, stop_at_eos=True,
+    )
+    got_eos = False
+    for row in range(4):
+        a = sampling.strip_special_tokens(
+            np.asarray(full)[row], cfg.bos_token_id, cfg.eos_token_id
+        )
+        b = sampling.strip_special_tokens(
+            np.asarray(early)[row], cfg.bos_token_id, cfg.eos_token_id
+        )
+        np.testing.assert_array_equal(a, b)
+        got_eos |= (np.asarray(full)[row, 1:] == cfg.eos_token_id).any()
+    assert got_eos  # the tiny random model must actually emit EOS somewhere
+
+    with pytest.raises(ValueError, match="stop_at_eos"):
+        sampling.generate(
+            params, cfg, key, batch_size=1, num_tokens=8,
+            use_cache=False, stop_at_eos=True,
+        )
