@@ -3,7 +3,7 @@ NATIVE_LIB := $(NATIVE_DIR)/libpst_native.so
 CXX ?= g++
 CXXFLAGS ?= -O3 -march=native -ffast-math -fPIC -shared -std=c++17 -Wall
 
-.PHONY: all native test clean
+.PHONY: all native test clean build
 
 all: native
 
@@ -14,6 +14,11 @@ $(NATIVE_LIB): $(NATIVE_DIR)/tmscore.cc $(NATIVE_DIR)/tmalign.cc $(NATIVE_DIR)/f
 
 test:
 	python -m pytest tests/ -x -q
+
+# Container image; ACCELERATOR in {TPU, GPU, CPU} (reference Makefile:5,37-99)
+ACCELERATOR ?= TPU
+build:
+	docker build --build-arg ACCELERATOR=$(ACCELERATOR) -t pst:$(shell echo $(ACCELERATOR) | tr A-Z a-z) .
 
 clean:
 	rm -f $(NATIVE_LIB)
