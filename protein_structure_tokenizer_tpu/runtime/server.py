@@ -383,6 +383,9 @@ class InferenceServer:
             num_tokens=int(opts.get("num_tokens",
                                     self.gpt_config.max_position_embeddings)),
             method=opts.get("sampling_method", "temperature"),
+            # serving default: stop as soon as every row has an EOS — the
+            # post-EOS tail is stripped below anyway
+            stop_at_eos=bool(opts.get("stop_at_eos", True)),
             temperature=float(opts.get("temperature", 0.6)),
             k=int(opts.get("top_k", 4)),
             top_p=float(opts.get("top_p", 0.15)),
