@@ -80,9 +80,21 @@ def load_released_params(
     return params
 
 
-def load_released_params_with_treedef(model_dir: str) -> Params:
+def load_released_params_with_treedef(model_dir: str, *, trusted: bool = False) -> Params:
     """Reference-faithful loader using the pickled treedef (may fail across
-    jax versions; kept for completeness/diagnostics)."""
+    jax versions; kept for completeness/diagnostics).
+
+    Unpickling executes arbitrary code from the artifact, so this refuses to
+    run unless ``trusted=True`` is passed explicitly.  Prefer
+    :func:`load_released_params`, which never unpickles and is proven
+    equivalent by ``tests/test_checkpoints.py``.
+    """
+    if not trusted:
+        raise ValueError(
+            "state_variables.npy holds a *pickled* treedef; loading it executes "
+            "code from the checkpoint. Pass trusted=True only for artifacts you "
+            "produced yourself, or use load_released_params (pickle-free)."
+        )
     import jax
 
     info = np.load(

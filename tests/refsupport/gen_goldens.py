@@ -162,6 +162,126 @@ def generate(codebook_size: int = 4096, downsampling: int = 1, seed: int = 0,
     return out_path
 
 
+def generate_released_ckpt(
+    codebook_size: int = 4096, downsampling: int = 1, seed: int = 0,
+    batch: int = 1, n_real: int = 49,
+) -> str:
+    """Write a checkpoint in the reference's *released on-disk format*.
+
+    The released HF artifacts are ``params.npz`` (flat leaves in pytree order,
+    read back positionally via ``uploaded.files``) plus ``state_variables.npy``
+    (a pickled dict holding ``params_treedef``) — exactly as
+    /root/reference/scripts/inference_runner.py:136-165,236-248 reads them.
+    We initialize the reference's own ``ForwardVQ3D`` haiku transform (so the
+    scopes carry the real ``forward_vq3_d/`` prefix, including layer_stack
+    stacked leaves) and serialize through the actual params object's treedef —
+    the closest offline simulation of the upstream writer.
+
+    Alongside, writes:
+      * ``expected.npz``: the prefix-stripped tree as explicit ``scope//name``
+        keys (ground truth for loader equality assertions), and
+      * ``golden.npz``: the fake graph + the reference's token ids computed
+        with those params (so the loaded tree can be proven to reproduce
+        bit-exact tokens end-to-end).
+    """
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    import jax
+
+    ndev = len(jax.devices())
+    out_dir = os.path.join(
+        GOLDEN_DIR, f"released_{codebook_size}_df{downsampling}_s{seed}_d{ndev}"
+    )
+    done_marker = os.path.join(out_dir, "golden.npz")
+    if os.path.exists(done_marker):
+        return out_dir
+
+    import_reference()
+    import haiku as hk
+    import jax.numpy as jnp
+
+    jax.lax.pmean = lambda x, axis_name=None: x
+    import structure_tokenizer.model.quantize as qmod
+
+    qmod.jax.lax.pmean = jax.lax.pmean
+
+    from structure_tokenizer.model.model import ForwardVQ3D, Vq3D
+    from structure_tokenizer.types import ProteinGraph
+
+    cfg = load_reference_config(codebook_size, downsampling)
+    seq_max = cfg.data.data.seq_max_size
+    k = cfg.data.data.graph_max_neighbor
+    graph_np = make_fake_graph(seed, batch, seq_max, k, downsampling, n_real)
+    graph = ProteinGraph(**{key: jnp.asarray(v) for key, v in graph_np.items()})
+    features = {
+        "aatype": jnp.asarray(
+            np.eye(21, dtype=np.float32)[
+                np.random.RandomState(seed + 1).randint(0, 20, size=(batch, seq_max))
+            ]
+        ),
+        "atom37_gt_exists": jnp.asarray(
+            np.tile(
+                np.concatenate(
+                    [np.ones((seq_max, 3)), np.zeros((seq_max, 1)), np.ones((seq_max, 1)), np.zeros((seq_max, 32))],
+                    axis=-1,
+                ).astype(np.int32)[None],
+                (batch, 1, 1),
+            )
+        ),
+    }
+
+    class BatchLike:
+        def __init__(self, graph, features):
+            self.graph = graph
+            self.features = features
+
+    def fwd(batch):
+        return ForwardVQ3D(config=cfg.model, global_config=cfg.data)(
+            batch, is_training=False
+        )
+
+    params = hk.transform(fwd).init(
+        jax.random.PRNGKey(seed), BatchLike(graph, features)
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    # --- the released format, written the way the reference reads it back ---
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    tmp = os.path.join(out_dir, "params.npz.tmp.npz")
+    with open(tmp, "wb") as f:
+        np.savez(f, *[np.asarray(leaf) for leaf in leaves])
+    os.replace(tmp, os.path.join(out_dir, "params.npz"))
+    np.save(
+        os.path.join(out_dir, "state_variables.npy"),
+        {"params_treedef": treedef},
+        allow_pickle=True,
+    )
+
+    # --- ground truth: the stripped tree + reference tokens it produces ---
+    stripped = {
+        scope.split("forward_vq3_d/", 1)[1]: dict(leaves_)
+        for scope, leaves_ in params.items()
+    }
+    expected = {}
+    for scope, leaves_ in stripped.items():
+        for name, arr in leaves_.items():
+            expected[f"{scope}//{name}"] = np.asarray(arr)
+    tmp = os.path.join(out_dir, "expected.npz.tmp.npz")
+    np.savez_compressed(tmp, **expected)
+    os.replace(tmp, os.path.join(out_dir, "expected.npz"))
+
+    def encode_fn(graph):
+        model = Vq3D(config=cfg.model, global_config=cfg.data)
+        return model.encode_and_quantize(graph, is_training=False)
+
+    enc_out = hk.transform(encode_fn).apply(stripped, jax.random.PRNGKey(seed), graph)
+    golden = {f"graph::{key}": arr for key, arr in graph_np.items()}
+    golden["enc::tokens"] = np.asarray(enc_out["tokens"])
+    tmp = os.path.join(out_dir, "golden.npz.tmp.npz")
+    np.savez_compressed(tmp, **golden)
+    os.replace(tmp, done_marker)
+    return out_dir
+
+
 def load_golden(path: str):
     data = np.load(path)
     params = {}
