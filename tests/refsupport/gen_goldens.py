@@ -60,7 +60,7 @@ def make_fake_graph(seed: int, batch: int, seq_max: int, k: int, downsampling: i
 
 
 def generate(codebook_size: int = 4096, downsampling: int = 1, seed: int = 0,
-             batch: int = 2, n_real: int = 77) -> str:
+             batch: int = 2, n_real: int = 77, seq_max: int | None = None) -> str:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     # The fixture must be produced under the same XLA device configuration the
     # comparing test session uses (device count changes CPU fusion at float-ulp
@@ -68,8 +68,9 @@ def generate(codebook_size: int = 4096, downsampling: int = 1, seed: int = 0,
     import jax
 
     ndev = len(jax.devices())
+    tag = "" if seq_max is None else f"_n{seq_max}"
     out_path = os.path.join(
-        GOLDEN_DIR, f"vq3d_{codebook_size}_df{downsampling}_s{seed}_d{ndev}.npz"
+        GOLDEN_DIR, f"vq3d_{codebook_size}_df{downsampling}_s{seed}_d{ndev}{tag}.npz"
     )
     if os.path.exists(out_path):
         return out_path
@@ -89,7 +90,7 @@ def generate(codebook_size: int = 4096, downsampling: int = 1, seed: int = 0,
     from structure_tokenizer.model.model import Vq3D
     from structure_tokenizer.types import ProteinGraph
 
-    cfg = load_reference_config(codebook_size, downsampling)
+    cfg = load_reference_config(codebook_size, downsampling, seq_max)
     seq_max = cfg.data.data.seq_max_size
     k = cfg.data.data.graph_max_neighbor
     graph_np = make_fake_graph(seed, batch, seq_max, k, downsampling, n_real)

@@ -51,8 +51,16 @@ def deep_merge(base: dict, overrides: dict) -> dict:
 
 
 @functools.lru_cache(maxsize=None)
-def load_reference_config(codebook_size: int = 4096, downsampling: int = 1):
-    """Compose shared.yaml + the ablation variant, as the hydra config tree does."""
+def load_reference_config(
+    codebook_size: int = 4096, downsampling: int = 1, seq_max: int | None = None
+):
+    """Compose shared.yaml + the ablation variant, as the hydra config tree does.
+
+    ``seq_max`` overrides the 512-residue default (data.seq_max_size and the
+    down/up sampler max_out_len scale with it) — used to produce reduced-size
+    64k goldens where the reference's (B, N, K, D) distance tensor would be
+    gigabytes at N=512.
+    """
     from ml_collections import ConfigDict
 
     name = {432: "0.5k", 1728: "1.7k", 4096: "4k", 64000: "64k"}[codebook_size]
@@ -67,6 +75,10 @@ def load_reference_config(codebook_size: int = 4096, downsampling: int = 1):
     model_cfg = deep_merge(shared, variant)
     with open(os.path.join(cfg_root, "data", f"ablation_df_{downsampling}.yaml")) as f:
         data_cfg = yaml.safe_load(f)
+    if seq_max is not None:
+        data_cfg["data"]["seq_max_size"] = seq_max
+        model_cfg["model"]["down_sampler"]["max_out_len"] = seq_max // downsampling
+        model_cfg["model"]["up_sampler"]["max_out_len"] = seq_max
     # Mirrors hydra's vq3d_inference.yaml composition: cfg.model is the full
     # model-group yaml (itself containing a `model:` key), cfg.data the
     # data-group yaml (containing `data:`, `init:`, flags...). The runner then

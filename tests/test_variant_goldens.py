@@ -1,0 +1,134 @@
+"""Reference-golden parity for the remaining released variants.
+
+Round 1 pinned 432_df1 and 4096_df{1,2,4}; this closes the gap for **1728**
+(full size) and **64000 df 1/2/4** so every row of the BASELINE config list has
+a reference-pinned end-to-end parity test.  The 64k goldens run at a reduced
+``seq_max=64`` (overridden consistently on both sides): the reference
+materializes a (B, N, K, D) distance tensor in its quantizer forward
+(/root/reference/structure_tokenizer/model/quantize.py:227-239), which at
+N=512, K=64000 would be gigabytes — at N=64 it is ~100 MB and entirely
+practical on CPU.
+"""
+import numpy as np
+import pytest
+
+from conftest import requires_reference
+
+import jax
+import jax.numpy as jnp
+
+from protein_structure_tokenizer_tpu.data.types import ProteinGraphBatch
+from protein_structure_tokenizer_tpu.models import vq3d
+from protein_structure_tokenizer_tpu.models.config import preset
+
+# (codebook_size, df, seq_max override, batch, n_real)
+VARIANTS = [
+    (1728, 1, None, 2, 77),
+    (64000, 1, 64, 1, 56),
+    (64000, 2, 64, 1, 56),
+    (64000, 4, 64, 1, 56),
+]
+
+IDS = [f"{size}_df{df}" + ("" if n is None else f"_n{n}") for size, df, n, *_ in VARIANTS]
+
+
+@pytest.fixture(scope="module", params=VARIANTS, ids=IDS)
+def golden(request):
+    from gen_goldens import generate, load_golden
+
+    size, df, seq_max, batch, n_real = request.param
+    path = generate(size, df, batch=batch, n_real=n_real, seq_max=seq_max)
+    return request.param, load_golden(path)
+
+
+def _to_graph(graph_np) -> ProteinGraphBatch:
+    return ProteinGraphBatch(**{k: jnp.asarray(v) for k, v in graph_np.items()})
+
+
+@requires_reference
+def test_encode_tokens_bit_exact(golden):
+    (size, df, seq_max, *_), (params, graph_np, feats, enc_ref, dec_ref) = golden
+    cfg = preset(size, df, seq_max=seq_max or 512)
+    graph = _to_graph(graph_np)
+
+    out = vq3d.encode_and_quantize(
+        params, cfg, graph, compute_usage=True, exact_aggregation=True
+    )
+    np.testing.assert_array_equal(np.asarray(out["tokens"]), enc_ref["tokens"])
+    np.testing.assert_array_equal(np.asarray(out["quantize"]), enc_ref["quantize"])
+    np.testing.assert_array_equal(
+        np.asarray(out["continuous_embedding"]), enc_ref["continuous_embedding"]
+    )
+    np.testing.assert_allclose(
+        float(out["perplexity"]), float(enc_ref["perplexity"]), rtol=1e-6
+    )
+    assert int(np.asarray(out["tokens"]).max()) < size
+
+
+@requires_reference
+def test_fast_aggregation_tokens_match(golden):
+    """The TPU-fast reshape-sum aggregation keeps token ids identical for
+    every codebook/df variant (FSQ rounds away the f32-ulp drift)."""
+    (size, df, seq_max, *_), (params, graph_np, feats, enc_ref, dec_ref) = golden
+    cfg = preset(size, df, seq_max=seq_max or 512)
+    graph = _to_graph(graph_np)
+
+    out = vq3d.encode_and_quantize(params, cfg, graph, compute_usage=False)
+    np.testing.assert_array_equal(np.asarray(out["tokens"]), enc_ref["tokens"])
+
+
+@requires_reference
+def test_distances_match_reference(golden):
+    """Our O(BNKD)-free diagnostics path reproduces the reference's masked
+    distance tensor and soft_proba at f32 (quantize.py:227-239 semantics)."""
+    (size, df, seq_max, *_), (params, graph_np, feats, enc_ref, dec_ref) = golden
+    if "distances" not in enc_ref:
+        pytest.skip("fixture predates distance capture")
+    cfg = preset(size, df, seq_max=seq_max or 512)
+    graph = _to_graph(graph_np)
+
+    out = vq3d.encode_and_quantize(
+        params, cfg, graph,
+        compute_usage=False, compute_distances=True, exact_aggregation=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["distances"]), enc_ref["distances"], rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["soft_proba"]), enc_ref["soft_proba"], rtol=1e-5, atol=1e-7
+    )
+
+
+@requires_reference
+def test_token_codec_roundtrip_vs_reference(golden):
+    """indexes_to_codes inverts the reference's token ids to its quantized
+    codes (the decode-side entry, quantize.py:122-139 semantics)."""
+    (size, df, seq_max, *_), (params, graph_np, feats, enc_ref, dec_ref) = golden
+    cfg = preset(size, df, seq_max=seq_max or 512)
+    codes = np.asarray(vq3d.indexes_to_codes(cfg, jnp.asarray(enc_ref["tokens"])))
+    mask = graph_np["tokens_mask"][..., :1]  # (B, T, 1)
+    np.testing.assert_array_equal(codes * mask, enc_ref["quantize"] * mask)
+
+
+@requires_reference
+def test_decode_masks_and_first_iteration(golden):
+    """Decode path sanity for each variant: final atom mask exact, first
+    refinement iteration tight (full-trajectory equivalence with random
+    weights is chaotic — see test_model_parity.py for rationale)."""
+    (size, df, seq_max, *_), (params, graph_np, feats, enc_ref, dec_ref) = golden
+    cfg = preset(size, df, seq_max=seq_max or 512)
+
+    out = vq3d.decode_and_make_structure(
+        params,
+        cfg,
+        jnp.asarray(enc_ref["quantize"]),
+        jnp.asarray(graph_np["nodes_mask"]),
+        jnp.asarray(graph_np["tokens_mask"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["final_atom_mask"]), dec_ref["final_atom_mask"]
+    )
+    valid = graph_np["nodes_mask"][..., 0].astype(bool)
+    ours_traj0 = np.asarray(out["traj"])[0]
+    ref_traj0 = dec_ref["traj"][:, 0]
+    np.testing.assert_allclose(ours_traj0[valid], ref_traj0[valid], atol=5e-2)
