@@ -112,13 +112,14 @@ def _message_layer(
     num_edges = edge_feats.shape[1]
 
     fast = canonical_receivers and not exact
-    if use_pallas is None:
-        # Opt-in for now: on the current TPU generation XLA's schedule of the
-        # decomposed jnp path beats the fused kernels (66 vs 77 ms on the
-        # CASP14 batch) — the kernels remain available for explicit use and
-        # larger-K regimes.
-        use_pallas = False
-    use_pallas = use_pallas and fast and layer_cls == "MPNNLayer"
+    # use_pallas="exact_gather" selects the kernels' bit-exact bf16x3 sender
+    # gather (for tight elementwise equivalence tests); plain True uses the
+    # fast single-pass bf16 gather, numerically identical to the jnp one-hot
+    # fast path on TPU.
+    pallas_exact_gather = use_pallas == "exact_gather"
+    use_pallas = (
+        bool(use_pallas) and fast and layer_cls == "MPNNLayer" and mesh is None
+    )
     if layer_cls == "MPNNLayer":
         activation = jax.nn.gelu
         node_mlp0 = [p[f"node_mlp_0/~/linear_{i}"] for i in range(3)]
@@ -184,27 +185,40 @@ def _message_layer(
         )
         return mlp(params_list, msg_in, activation)
 
+    def _proj_pair(feats: jax.Array, first):
+        """Sender/receiver projections of the decomposed first MLP layer."""
+        d_f = feats.shape[-1]
+        w_s, w_r, w_e = jnp.split(first["w"], [d_f, 2 * d_f], axis=0)
+        sproj = jnp.matmul(feats, w_s, preferred_element_type=feats.dtype)
+        rproj = jnp.matmul(feats, w_r, preferred_element_type=feats.dtype) + first["b"]
+        return sproj, rproj, w_e
+
     # Node update: aggregate incoming messages, normalize by the (static)
     # neighbor count, residual + masked LN, then a feed-forward block.
     if use_pallas:
-        # Fused Pallas path (ops/gnn_kernels.py): the MLP tail and the K-axis
-        # reduction run in one VMEM-resident kernel — one HBM pass over the
-        # edge table instead of ~5.
+        # Fully-fused layer kernel (ops/gnn_kernels.py): edge projection,
+        # in-register sender one-hot gather, MLP tail and the K-axis
+        # reduction in one VMEM-resident pass — the edge table is read once
+        # instead of ~5 times and no (B, E, N) one-hot is materialized.
         from protein_structure_tokenizer_tpu.ops.gnn_kernels import (
-            fused_edge_update,
-            fused_message_aggregate,
+            fused_mpnn_edge_update,
+            fused_mpnn_node_update,
         )
 
-        k = num_edges // num_nodes
-        h0 = message_preact(node_feats, node_mlp0[0]).reshape(-1, dim)
-        agg = fused_message_aggregate(
-            h0,
+        sproj, rproj, w_e = _proj_pair(node_feats, node_mlp0[0])
+        agg = fused_mpnn_node_update(
+            edge_feats,
+            senders,
+            sproj,
+            rproj,
+            w_e,
             node_mlp0[1]["w"],
             node_mlp0[1]["b"],
             node_mlp0[2]["w"],
             node_mlp0[2]["b"],
-            k=k,
-        ).reshape(batch, num_nodes, dim)
+            k=k_slots,
+            exact_gather=pallas_exact_gather,
+        )
     elif fast:
         # (B, N, K, D) messages: the aggregation is a plain K-axis reduction.
         agg = messages_from(node_feats, node_mlp0).sum(axis=2)
@@ -227,21 +241,23 @@ def _message_layer(
 
     # Edge update from the *updated* node features.
     if use_pallas:
-        h0e = message_preact(node_feats, edge_mlp[0]).reshape(-1, dim)
-        row_mask = jnp.broadcast_to(
-            nodes_mask[:, :, None], (batch, num_nodes, k, 1)
-        ).reshape(-1, 1)
-        edge_out = fused_edge_update(
-            h0e,
-            edge_feats.reshape(-1, dim),
-            row_mask,
+        sproj_e, rproj_e, w_e2 = _proj_pair(node_feats, edge_mlp[0])
+        edge_out = fused_mpnn_edge_update(
+            edge_feats,
+            senders,
+            sproj_e,
+            rproj_e,
+            nodes_mask,
+            w_e2,
             edge_mlp[1]["w"],
             edge_mlp[1]["b"],
             edge_mlp[2]["w"],
             edge_mlp[2]["b"],
             p["norm_msg_2"]["scale"],
             p["norm_msg_2"]["offset"],
-        ).reshape(batch, num_edges, dim)
+            k=k_slots,
+            exact_gather=pallas_exact_gather,
+        )
         return edge_out, node_feats
 
     edge_msg = messages_from(node_feats, edge_mlp)
@@ -282,20 +298,32 @@ def graph_neural_network(
     matching the reference's haiku module auto-numbering.
     """
     base = config.layer_cls.replace("Layer", "_layer").lower()  # mpnn_layer
-    # Fast path on TPU: the sender gathers (2 per layer, ~45% of encode device
-    # time at 1/4 HBM rate) become MXU matmuls against ONE bf16 one-hot —
-    # passed in by the caller (structure_encoder reuses it for the edge PE)
-    # or built here.
+    fast = canonical_receivers and not exact
+    if use_pallas is None:
+        # Default ON for TPU: the fully-fused layer kernels read the edge
+        # table once per kernel with the sender one-hot synthesized in
+        # register (ops/gnn_kernels.py) — measured 2.1x over the decomposed
+        # jnp one-hot path (encode 64.3 -> 30.3 ms at B=64/N=512 on v5e,
+        # tokens bit-identical; tools/bench_encode.py).
+        use_pallas = jax.default_backend() == "tpu"
+    # Order matters: keep use_pallas's value (it may be the "exact_gather"
+    # sentinel) rather than the boolean gates.
+    use_pallas = fast and config.layer_cls == "MPNNLayer" and use_pallas
+    # jnp fast path on TPU (pallas off): the sender gathers (2 per layer,
+    # ~45% of encode device time at 1/4 HBM rate as dynamic gathers) become
+    # MXU matmuls against ONE bf16 one-hot — passed in by the caller
+    # (structure_encoder reuses it for the edge PE) or built here.  The
+    # pallas kernels synthesize the one-hot in register instead.
     if sender_onehot is None and (
-        canonical_receivers
-        and not exact
+        fast
+        and not use_pallas
         and jax.default_backend() == "tpu"
         and node_feats.shape[1] <= 2048
     ):
         sender_onehot = jax.nn.one_hot(
             senders, node_feats.shape[1], dtype=jnp.bfloat16
         )
-    if exact or not canonical_receivers:
+    if not fast or use_pallas:
         sender_onehot = None
     for i in range(config.gnn_number_layers):
         idx = 0 if config.shared_layers else i

@@ -442,16 +442,25 @@ def forward(
     canonical_receivers: bool = True,
     exact_aggregation: bool = False,
     exact_ipa: bool = False,
+    use_pallas: bool | None = None,
     mesh=None,
 ):
-    """Full autoencoder pass -> (decoded_structure, quantizer_output)."""
+    """Full autoencoder pass -> (decoded_structure, quantizer_output).
+
+    ``use_pallas`` defaults to OFF when ``is_training`` (the fused GNN kernels
+    have no VJP yet, and training must differentiate the encoder); inference
+    callers inherit the backend default.
+    """
     graph = batch.graph
+    if use_pallas is None and is_training:
+        use_pallas = False
     continuous, pre_proj = encode(
         params,
         cfg,
         graph,
         canonical_receivers=canonical_receivers,
         exact_aggregation=exact_aggregation,
+        use_pallas=use_pallas,
         mesh=mesh,
     )
     quantized, out = quantize_embedding(

@@ -117,6 +117,26 @@ def test_encode_onehot_fast_path_tokens(golden):
 
 
 @requires_reference
+def test_encode_pallas_kernels_tokens(golden):
+    """The fused MPNN Pallas kernels (TPU default path, interpret mode here)
+    produce identical token ids vs the reference; activations sit in the bf16
+    sender-gather envelope like the one-hot path."""
+    params, graph_np, feats, enc_ref, dec_ref = golden
+    cfg = preset(4096, 1)
+    graph = _to_graph(graph_np)
+
+    out = vq3d.encode_and_quantize(
+        params, cfg, graph, compute_usage=False, use_pallas=True
+    )
+    np.testing.assert_array_equal(np.asarray(out["tokens"]), enc_ref["tokens"])
+    np.testing.assert_allclose(
+        np.asarray(out["continuous_embedding"]),
+        enc_ref["continuous_embedding"],
+        atol=2e-2,
+    )
+
+
+@requires_reference
 def test_decode_trunk_parity(golden):
     """up_proj -> upsampler -> sequence decoder is bit-exact vs the reference."""
     params, graph_np, feats, enc_ref, dec_ref = golden

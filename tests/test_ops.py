@@ -55,8 +55,11 @@ def test_gnn_pallas_layer_matches_jnp():
         params, cfg, nodes, edges, senders, receivers, mask, use_pallas=False
     )
     try:
+        # exact_gather: the kernels' bit-exact bf16x3 sender gather, so the
+        # only difference vs the jnp path is matmul association order.
         our_nodes, our_edges = graph_neural_network(
-            params, cfg, nodes, edges, senders, receivers, mask, use_pallas=True
+            params, cfg, nodes, edges, senders, receivers, mask,
+            use_pallas="exact_gather",
         )
     except Exception as exc:
         pytest.skip(f"pallas unavailable on {jax.default_backend()}: {exc}")
@@ -65,6 +68,18 @@ def test_gnn_pallas_layer_matches_jnp():
     )
     np.testing.assert_allclose(
         np.asarray(our_edges), np.asarray(ref_edges), rtol=2e-5, atol=2e-5
+    )
+
+    # Fast bf16 single-pass gather: same envelope as the TPU one-hot fast
+    # path (sender values truncated to bf16 before the message MLP).
+    fast_nodes, fast_edges = graph_neural_network(
+        params, cfg, nodes, edges, senders, receivers, mask, use_pallas=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_nodes), np.asarray(ref_nodes), rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_edges), np.asarray(ref_edges), rtol=2e-2, atol=2e-2
     )
 
 
