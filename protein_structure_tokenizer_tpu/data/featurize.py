@@ -140,6 +140,19 @@ def preprocess_sample(
     missing = sample.get_missing_backbone_coords_mask()
     num_with_coords = int(np.sum(~missing))
 
+    def _kabsch_ref(a: np.ndarray, b: np.ndarray):
+        """Kabsch (R, t) mapping 3xN cloud ``a`` onto ``b`` — exact op order
+        of the reference's rigid_transform_kabsch_3d (protein_utils.py:50-95)
+        so the centroid branch golden-matches bit-for-bit."""
+        centroid_a = np.mean(a, axis=1, keepdims=True)
+        centroid_b = np.mean(b, axis=1, keepdims=True)
+        am, bm = a - centroid_a, b - centroid_b
+        u, _, vt = np.linalg.svd(am @ bm.T)
+        r = vt.T @ u.T
+        if np.linalg.det(r) < 0:
+            r = (vt.T @ np.diag(np.array([1.0, 1.0, -1.0]))) @ u.T
+        return r, -r @ centroid_a + centroid_b
+
     # Residue local frames from N/CA/C (before dropping missing residues).
     rot, _ = frames_np.make_transform_from_reference(
         n_xyz=sample.atom37_positions[:, constants.N_INDEX],
@@ -172,16 +185,22 @@ def preprocess_sample(
     if cfg.residue_loc_is_alphac:
         residue_loc = atom37_coords[:, constants.CA_INDEX]
     else:
-        residue_loc = np.stack(
-            [
-                np.mean(atom37_coords[i][atom37_mask[i].astype(bool)], axis=0)
-                for i in range(num_with_coords)
-            ]
+        # Centroid residue locations, Kabsch-aligned onto the CA cloud along
+        # with the residue frames (reference preprocessing.py:145-164 +
+        # protein_utils.py:284-322).  NOTE: the reference as released crashes
+        # on this branch (np.mean(where=atom37_mask) cannot broadcast a
+        # (N, 37) mask over (N, 37, 3) coords, preprocessing.py:148) — we
+        # implement the evident intent: mean over the atoms that exist.
+        residue_loc = np.mean(
+            atom37_coords, axis=1, where=atom37_mask[..., None].astype(bool)
         )
-        raise NotImplementedError(
-            "centroid residue locations (+Kabsch alignment) are not used by any "
-            "released config; see reference preprocessing.py:151-164"
+        rot_k, trans_k = _kabsch_ref(
+            residue_loc.T, atom37_coords[:, constants.CA_INDEX].T
         )
+        residue_loc = (rot_k @ residue_loc.T + trans_k).T
+        frame_x = (rot_k @ frame_x.T).T
+        frame_y = (rot_k @ frame_y.T).T
+        frame_z = (rot_k @ frame_z.T).T
 
     atom_centroids = np.stack(
         [

@@ -211,3 +211,85 @@ def test_noise_level_matches_reference():
     np.testing.assert_allclose(
         graph.edge_features, np.asarray(ref_batch.graph.edge_features), atol=1e-6
     )
+
+
+@requires_reference
+@pytest.mark.parametrize("pdb", CASP14[:2])
+def test_centroid_kabsch_branch_matches_reference(pdb):
+    """graph_residue_loc_is_alphac=False: centroid residue locations,
+    Kabsch-aligned (with the frames) onto the CA cloud.
+
+    The reference AS RELEASED crashes on this branch — preprocessing.py:148
+    passes a (N, 37) ``where`` mask to np.mean over (N, 37, 3) coords, which
+    cannot broadcast.  We patch np.mean for the duration of the reference call
+    to expand the mask (the evident intent) and then require exact parity.
+    """
+    import functools
+
+    from refmodel import import_reference
+
+    import_reference()
+    from structure_tokenizer.data.preprocessing import preprocess_sample as ref_pre
+    from structure_tokenizer.data.protein_structure_sample import ProteinStructureSample
+
+    ours_sample = parse_pdb_file(pdb)
+    if ours_sample.nb_residues > 512 or ours_sample.nb_residues < 50:
+        pytest.skip("outside supported size range")
+
+    ref_sample = ProteinStructureSample(
+        chain_id=None,
+        nb_residues=ours_sample.nb_residues,
+        aatype=ours_sample.aatype,
+        atom37_positions=ours_sample.atom37_positions,
+        atom37_gt_exists=ours_sample.atom37_gt_exists,
+        atom37_atom_exists=ours_sample.atom37_atom_exists,
+        resolution=0.0,
+        pdb_cluster_size=1,
+    )
+
+    orig_mean = np.mean
+
+    @functools.wraps(orig_mean)
+    def fixed_mean(a, *args, **kwargs):
+        where = kwargs.get("where")
+        if (
+            where is not None
+            and not isinstance(where, bool)
+            and getattr(where, "ndim", 0) == np.ndim(a) - 1
+        ):
+            kwargs["where"] = np.asarray(where)[..., None].astype(bool)
+        return orig_mean(a, *args, **kwargs)
+
+    np.mean = fixed_mean
+    try:
+        ref_batch = ref_pre(
+            sample=ref_sample,
+            num_neighbor=50,
+            downsampling_ratio=1,
+            residue_loc_is_alphac=False,
+            padding_num_residue=512,
+            crop_index=512,
+            noise_level=0.0,
+        )
+    finally:
+        np.mean = orig_mean
+    ref_graph = ref_batch.graph
+
+    graph, feats = preprocess_sample(
+        ours_sample, FeaturizeConfig(residue_loc_is_alphac=False)
+    )
+
+    np.testing.assert_array_equal(graph.senders, np.asarray(ref_graph.senders))
+    np.testing.assert_array_equal(graph.receivers, np.asarray(ref_graph.receivers))
+    # Tolerances, not bit-exactness: the reference's Kabsch mixes jax (XLA)
+    # and numpy f32 ops (protein_utils.py:70-81) while ours is pure numpy -
+    # the SVD amplifies the matmul ulp difference into the rotation's low
+    # bits.  (Bit-parity is asserted for the released alphac branch above.)
+    np.testing.assert_allclose(
+        graph.edge_features, np.asarray(ref_graph.edge_features), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        graph.nodes_original_coordinates,
+        np.asarray(ref_graph.nodes_original_coordinates),
+        atol=2e-4,
+    )
