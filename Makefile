@@ -15,6 +15,11 @@ $(NATIVE_LIB): $(NATIVE_DIR)/tmscore.cc $(NATIVE_DIR)/tmalign.cc $(NATIVE_DIR)/f
 test:
 	python -m pytest tests/ -x -q
 
+# Fast tier (~3 min): skips multi-process / reference-golden-generation /
+# end-to-end-CLI tests marked `slow`.
+test-fast:
+	python -m pytest tests/ -x -q -m "not slow"
+
 # Container image; ACCELERATOR in {TPU, GPU, CPU} (reference Makefile:5,37-99)
 ACCELERATOR ?= TPU
 build:

@@ -93,7 +93,8 @@ def pairwise_representation_init(key, cfg: PairRepConfig, in_dim: int) -> Params
 
 
 def _fused_pair_path(
-    params: Params, cfg: SeqDecoderConfig, single_emb: jax.Array, nodes_mask: jax.Array
+    params: Params, cfg: SeqDecoderConfig, single_emb: jax.Array, nodes_mask: jax.Array,
+    *, bf16_operands: bool = True,
 ) -> jax.Array:
     """Pair track via the fused Pallas kernel (ops/pair_kernels.py): the only
     HBM traffic is the projection tracks in and the final pair tensor out."""
@@ -128,7 +129,8 @@ def _fused_pair_path(
         "tb2": tr["transition2"]["bias"],
     }
     return fused_pair_representation(
-        left, right, weights, seq_max=cfg.seq_max_size, pe_dim=d
+        left, right, weights, seq_max=cfg.seq_max_size, pe_dim=d,
+        bf16_operands=bf16_operands,
     )
 
 
@@ -168,14 +170,20 @@ def sequence_decoder(
     """
     batch, n, _ = single_emb.shape
 
-    # The fused Pallas pair kernel is OPT-IN: on the current TPU target XLA's
-    # own schedule of the jnp chain is faster (34 vs 44 ms at B=16, N=512 —
-    # this chip's native-f32 MXU rate leaves the stage compute-bound, not
-    # HBM-bound), so the default stays jnp.  Flip use_pallas=True to use it.
+    # Fused Pallas pair kernel: default ON for TPU.  Round 1 measured it
+    # LOSING to XLA's jnp schedule (44 vs 34 ms at B=16/N=512) because its
+    # full-f32 Mosaic dots lower to multi-pass MXU products; with bf16
+    # operand truncation (XLA's own DEFAULT-precision semantics) the whole
+    # chain is one VMEM-resident pass over the (B, N, N, C) plane.
+    # use_pallas="exact_dots" keeps full-f32 products (tight-equivalence
+    # tests); the ``exact`` conformance path bypasses the kernel entirely.
     if use_pallas is None:
-        use_pallas = False
+        use_pallas = jax.default_backend() == "tpu" and mesh is None
     if use_pallas and not exact and _fused_pair_applicable(params, cfg, n):
-        return single_emb, _fused_pair_path(params, cfg, single_emb, nodes_mask)
+        return single_emb, _fused_pair_path(
+            params, cfg, single_emb, nodes_mask,
+            bf16_operands=use_pallas != "exact_dots",
+        )
 
     pair = pairwise_representation(
         subtree(params, "pairwise_representation"),

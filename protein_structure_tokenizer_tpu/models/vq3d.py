@@ -347,6 +347,7 @@ def decode(
     tokens_mask: jax.Array,  # (B, T, 1)
     *,
     exact: bool = False,
+    use_pallas: bool | None = None,
     mesh=None,
 ):
     """Codes -> (quantized_proj, single track s_i, pair track z_ij).
@@ -382,7 +383,7 @@ def decode(
 
     s_i, z_ij = sequence_decoder(
         subtree(params, SCOPE_SEQ_DECODER), cfg.decoder, seq_decoded, nodes_mask,
-        exact=exact, mesh=mesh,
+        exact=exact, use_pallas=use_pallas, mesh=mesh,
     )
     return quantized_proj, s_i, z_ij
 
@@ -412,10 +413,12 @@ def decode_and_make_structure(
     tokens_mask: jax.Array,
     *,
     exact_ipa: bool = False,
+    use_pallas: bool | None = None,
     mesh=None,
 ) -> dict:
     _, s_i, z_ij = decode(
-        params, cfg, quantized, nodes_mask, tokens_mask, exact=exact_ipa, mesh=mesh
+        params, cfg, quantized, nodes_mask, tokens_mask,
+        exact=exact_ipa, use_pallas=use_pallas, mesh=mesh,
     )
     batch, num_res = s_i.shape[:2]
     features = _dummy_ala_features(batch, num_res)
@@ -477,7 +480,7 @@ def forward(
 
     quantized_proj, s_i, z_ij = decode(
         params, cfg, quantized, graph.nodes_mask, graph.tokens_mask,
-        exact=exact_ipa, mesh=mesh,
+        exact=exact_ipa, use_pallas=use_pallas, mesh=mesh,
     )
     out["quantize_post_proj"] = quantized_proj
 

@@ -12,11 +12,13 @@ final (B, N, N, C_out) pair tensor out.  The relative-PE features are
 synthesized in-register from the tile's index offsets (they depend only on
 j - i), so the dense (N, N, D) PE tensor never exists.
 
-Numerics: f32 layout with default-precision MXU dots — the same bf16-input
-matmul precision XLA uses for the jnp path on TPU (f32 everywhere else).
-Outputs agree with the jnp path to the same tolerance the jnp path agrees
-with a full-f32 CPU run; `sequence_decoder(..., exact=True)` bypasses this
-kernel entirely for the bit-exact conformance path.
+Numerics: dots truncate their operands to bf16 with f32 accumulation — the
+exact semantics of XLA's DEFAULT matmul precision, which the jnp path uses on
+TPU (elementwise math and LN statistics stay f32).  Without the explicit
+truncation Mosaic emits multi-pass full-f32 MXU products and the kernel is
+compute-bound (~3x slower than the jnp chain at B=32/N=512 — the round-1
+failure).  `sequence_decoder(..., exact=True)` bypasses this kernel entirely
+for the bit-exact conformance path.
 """
 from __future__ import annotations
 
@@ -36,6 +38,21 @@ def _ln(x, scale, offset, eps=1e-5):
     return scale * jax.lax.rsqrt(var + eps) * (x - mean) + offset
 
 
+def _make_dot(bf16_operands):
+    """bf16-operand MXU dot with f32 accumulation (XLA DEFAULT-precision
+    semantics — one pass instead of Mosaic's multi-pass full-f32 product).
+    ``bf16_operands=False`` keeps full-f32 products for tight-equivalence
+    tests against the CPU jnp path."""
+
+    def dot(a, b):
+        if bf16_operands:
+            a = a.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    return dot
+
+
 def _pair_kernel(
     left_ref,      # (1, TI, C_in)
     right_ref,     # (1, TJ, C_in)
@@ -53,7 +70,9 @@ def _pair_kernel(
     *,
     tile_i: int,
     tile_j: int,
+    bf16_operands: bool,
 ):
+    _dot = _make_dot(bf16_operands)
     f32 = jnp.float32
     l = left_ref[0]   # (TI, C_in)
     r = right_ref[0]  # (TJ, C_in)
@@ -61,9 +80,9 @@ def _pair_kernel(
     # Outer product tile: x[a, b, :] = l[a, :] * r[b, :], flattened to rows.
     x = (l[:, None, :] * r[None, :, :]).reshape(tile_i * tile_j, l.shape[-1])
 
-    h = jnp.maximum(jnp.dot(x, w1_ref[:], preferred_element_type=f32) + b1_ref[:], 0.0)
-    pair = jnp.dot(h, w2_ref[:], preferred_element_type=f32) + b2_ref[:]
-    pair = pair + jnp.dot(x, wr_ref[:], preferred_element_type=f32) + br_ref[:]
+    h = jnp.maximum(_dot(x, w1_ref[:]) + b1_ref[:], 0.0)
+    pair = _dot(h, w2_ref[:]) + b2_ref[:]
+    pair = pair + _dot(x, wr_ref[:]) + br_ref[:]
     pair = _ln(pair, ln1_s_ref[:], ln1_o_ref[:])
 
     # Relative-PE features for this tile: diff = (global j) - (global i),
@@ -78,15 +97,11 @@ def _pair_kernel(
     odd = pe_odd_ref[:]
     feats = odd * jnp.cos(diff * pe_a_ref[:]) + (1.0 - odd) * jnp.sin(diff * pe_b_ref[:])
 
-    merged = (
-        jnp.dot(pair, wlp_ref[:], preferred_element_type=f32)
-        + jnp.dot(feats, wlr_ref[:], preferred_element_type=f32)
-        + bl_ref[:]
-    )
+    merged = _dot(pair, wlp_ref[:]) + _dot(feats, wlr_ref[:]) + bl_ref[:]
 
     t = _ln(merged, ln2_s_ref[:], ln2_o_ref[:])
-    t = jnp.maximum(jnp.dot(t, t1_ref[:], preferred_element_type=f32) + tb1_ref[:], 0.0)
-    t = jnp.dot(t, t2_ref[:], preferred_element_type=f32) + tb2_ref[:]
+    t = jnp.maximum(_dot(t, t1_ref[:]) + tb1_ref[:], 0.0)
+    t = _dot(t, t2_ref[:]) + tb2_ref[:]
 
     out_ref[0] = t.reshape(tile_i, tile_j, t.shape[-1])
 
@@ -97,7 +112,7 @@ def pair_representation_supported(n: int, tile_i: int = 8, tile_j: int = 128) ->
 
 @functools.partial(
     jax.jit,
-    static_argnames=("seq_max", "pe_dim", "tile_i", "tile_j", "interpret"),
+    static_argnames=("seq_max", "pe_dim", "tile_i", "tile_j", "interpret", "bf16_operands"),
 )
 def fused_pair_representation(
     left: jax.Array,   # (B, N, C_in) masked left projection
@@ -109,6 +124,7 @@ def fused_pair_representation(
     tile_i: int = 8,
     tile_j: int = 128,
     interpret: bool | None = None,
+    bf16_operands: bool = True,
 ) -> jax.Array:
     """Fused outer-product -> MLP -> LN -> relpos merge -> transition.
 
@@ -151,7 +167,9 @@ def fused_pair_representation(
     ]
 
     return pl.pallas_call(
-        functools.partial(_pair_kernel, tile_i=tile_i, tile_j=tile_j),
+        functools.partial(
+            _pair_kernel, tile_i=tile_i, tile_j=tile_j, bf16_operands=bf16_operands
+        ),
         out_shape=jax.ShapeDtypeStruct((batch, n, n, c_out), f32),
         grid=grid,
         in_specs=[

@@ -34,3 +34,17 @@ REFERENCE_AVAILABLE = os.path.isdir("/root/reference")
 requires_reference = pytest.mark.skipif(
     not REFERENCE_AVAILABLE, reason="reference repo not mounted at /root/reference"
 )
+
+
+@pytest.fixture(scope="session", autouse=True)
+def build_native_lib():
+    """Build libpst_native.so before the session (~2 s) so native tests
+    never skip silently — a missing .so must surface as a build error, not
+    as 5 quiet skips (round-1 finding)."""
+    import subprocess
+
+    lib = os.path.join(
+        REPO_ROOT, "protein_structure_tokenizer_tpu", "native", "libpst_native.so"
+    )
+    if not os.path.exists(lib):
+        subprocess.run(["make", "native"], cwd=REPO_ROOT, check=True, timeout=120)

@@ -133,6 +133,7 @@ def test_runner_buckets_match_unbucketed(tmp_path):
 
 
 @pytest.mark.skipif(not CASP14, reason="corpus not mounted")
+@pytest.mark.slow
 def test_runner_decode_buckets_match_unbucketed(tmp_path):
     """Decode side: bucketed node/token padding (quadratic pair-track win).
 

@@ -83,6 +83,7 @@ def test_gpt_config_validation():
     assert cfg.key_size == 16
 
 
+@pytest.mark.slow
 def test_long_chain_seq_max(tmp_path):
     """--seq_max lifts the reference's hard 512-residue ceiling: a synthetic
     600-residue chain tokenizes and decodes round-trip at seq_max=640 (the

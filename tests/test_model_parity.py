@@ -137,6 +137,7 @@ def test_encode_pallas_kernels_tokens(golden):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_decode_trunk_parity(golden):
     """up_proj -> upsampler -> sequence decoder is bit-exact vs the reference."""
     params, graph_np, feats, enc_ref, dec_ref = golden

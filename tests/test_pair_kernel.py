@@ -37,9 +37,17 @@ def setup():
 def test_fused_pair_matches_jnp(setup):
     cfg, params, x, mask = setup
     _, z_ref = sequence_decoder(params, cfg, x, mask, use_pallas=False)
-    _, z_fused = sequence_decoder(params, cfg, x, mask, use_pallas=True)
+    # exact_dots: full-f32 MXU products, so the only difference vs the jnp
+    # path is reduction association -> tight tolerance.
+    _, z_fused = sequence_decoder(params, cfg, x, mask, use_pallas="exact_dots")
     np.testing.assert_allclose(
         np.asarray(z_fused), np.asarray(z_ref), rtol=1e-4, atol=1e-4
+    )
+    # Production path (bf16 operand truncation, = XLA DEFAULT precision on
+    # TPU): bf16-envelope agreement on the CPU-f32 jnp reference.
+    _, z_fast = sequence_decoder(params, cfg, x, mask, use_pallas=True)
+    np.testing.assert_allclose(
+        np.asarray(z_fast), np.asarray(z_ref), rtol=2e-2, atol=2e-1
     )
 
 
@@ -48,7 +56,7 @@ def test_fused_pair_relpos_encoding(setup):
     for asymmetric (i, j) tiles (sign of j - i matters)."""
     cfg, params, x, mask = setup
     _, z_ref = sequence_decoder(params, cfg, x, mask, use_pallas=False)
-    _, z_fused = sequence_decoder(params, cfg, x, mask, use_pallas=True)
+    _, z_fused = sequence_decoder(params, cfg, x, mask, use_pallas="exact_dots")
     # Spot-check far off-diagonal corners where diff = +-(N-1).
     for i, j in [(0, 127), (127, 0), (5, 90)]:
         np.testing.assert_allclose(

@@ -141,6 +141,7 @@ def test_pp_train_step_reduces_loss():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_train_lm_cli_pipeline_parallel(tmp_path):
     """cli.train_lm --pipeline_parallel end-to-end: trains, checkpoints,
     resumes from the pp-structured checkpoint, exports mergeable params."""

@@ -37,6 +37,7 @@ def test_noop_off_main_thread():
     assert result == {"stop": False}
 
 
+@pytest.mark.slow
 def test_train_cli_sigterm_checkpoints_and_resumes(tmp_path):
     """Drive the real trainer: SIGTERM mid-run -> it saves a checkpoint and
     exits 0; a rerun resumes from the preemption checkpoint."""

@@ -34,6 +34,7 @@ def test_masks_from_token_sequences():
 
 
 @pytest.mark.skipif(not CASP14, reason="CASP14 corpus not mounted")
+@pytest.mark.slow
 def test_tokenize_decode_roundtrip(tmp_path):
     cfg = preset(4096, 1)
     params = vq3d.init(jax.random.PRNGKey(0), cfg)
@@ -76,6 +77,7 @@ def test_tokenize_decode_roundtrip(tmp_path):
 
 
 @pytest.mark.skipif(not CASP14, reason="CASP14 corpus not mounted")
+@pytest.mark.slow
 def test_autoencode_roundtrip(tmp_path):
     """Full AE in one device pass: tokens + reconstruction + metrics.pkl."""
     import pickle

@@ -72,6 +72,7 @@ def test_ipa_fast_matches_exact():
 
 
 @requires_reference
+@pytest.mark.slow
 def test_fold_loop_bitwise():
     from refmodel import import_reference, load_reference_config
 

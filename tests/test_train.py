@@ -116,6 +116,7 @@ def test_dataset_local_slice(corpus_dir):
     )
 
 
+@pytest.mark.slow
 def test_train_steps_reduce_loss(corpus_dir):
     cfg = tiny_preset(seq_max=SEQ_MAX, k=K, downsampling=DF, dim=16)
     train_cfg = TrainConfig(learning_rate=3e-4)
@@ -137,6 +138,7 @@ def test_train_steps_reduce_loss(corpus_dir):
     assert losses[-1] < losses[0], losses  # the optimizer is actually learning
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore_roundtrip(corpus_dir, tmp_path):
     cfg = tiny_preset(seq_max=SEQ_MAX, k=K, downsampling=DF, dim=16)
     train_cfg = TrainConfig()
@@ -189,6 +191,7 @@ def test_save_every_gate(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_context_parallel_train_step_matches(corpus_dir):
     """ctx-mesh training (quadratic tensors row-sharded over 'ctx') computes
     the same loss/grad-update as plain data-parallel training: cp.constrain
@@ -220,6 +223,7 @@ def test_context_parallel_train_step_matches(corpus_dir):
     )
 
 
+@pytest.mark.slow
 def test_fsdp_tokenizer_train_step_matches(corpus_dir):
     """FSDP tokenizer training (params + moments sharded over 'data',
     parallel/fsdp.py) is a pure layout change: loss and updated params match
