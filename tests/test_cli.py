@@ -3,6 +3,7 @@
 These catch import rot and argument-wiring regressions cheaply (the heavy
 end-to-end paths are covered by tests/test_runner.py and the verify recipe).
 """
+import os
 import subprocess
 import sys
 
@@ -192,3 +193,58 @@ def test_data_pipeline_config_yaml_padding_syncs_crop(tmp_path):
     # All 391 residues survive (no silent 512-crop... and none would at 512
     # either; the regression is observable via the featurize config shape).
     assert int(data["graph::nodes_mask"].sum()) == 391
+
+
+@pytest.mark.slow
+def test_conformance_harness_mechanics(tmp_path):
+    """End-to-end --weights_root conformance run with a reference-format
+    checkpoint holding RANDOM weights: the pipeline (load released format ->
+    tokenize -> decode -> RMSD/TM vs table) must run, report the variant, and
+    exit 1 (random weights cannot conform); a missing-weights root exits 2."""
+    import json
+    import shutil
+
+    from conftest import REFERENCE_AVAILABLE
+
+    if not REFERENCE_AVAILABLE:
+        pytest.skip("reference repo not mounted")
+    from gen_goldens import generate_released_ckpt
+
+    from protein_structure_tokenizer_tpu.cli import conformance
+
+    released = generate_released_ckpt(4096, 1)
+    weights_root = tmp_path / "hf"
+    (weights_root / "4k_df_1").parent.mkdir(parents=True, exist_ok=True)
+    shutil.copytree(released, weights_root / "4k_df_1")
+
+    pdb_dir = tmp_path / "pdbs"
+    pdb_dir.mkdir()
+    for name in ("T1024.pdb", "T1030.pdb"):
+        src = f"/root/reference/casp14_pdbs/{name}"
+        if os.path.exists(src):
+            shutil.copy(src, pdb_dir)
+
+    report_path = tmp_path / "conf.json"
+    rc = conformance.main([
+        "--weights_root", str(weights_root),
+        "--pdb_dir", str(pdb_dir),
+        "--workdir", str(tmp_path / "work"),
+        "--variants", "4096_1",
+        "--batch_size_per_device", "2",
+        "--report", str(report_path),
+    ])
+    assert rc == 1  # ran, did not conform (random weights)
+    report = json.loads(report_path.read_text())
+    entry = report["4k_df_1"]
+    assert entry["status"] == "FAIL"
+    assert entry["n_structures"] >= 1
+    assert entry["mean_rmsd"] > entry["expected_rmsd"]
+
+    # Missing weights entirely -> exit 2.
+    rc = conformance.main([
+        "--weights_root", str(tmp_path / "nothing"),
+        "--pdb_dir", str(pdb_dir),
+        "--workdir", str(tmp_path / "work2"),
+        "--variants", "4096_1",
+    ])
+    assert rc == 2
