@@ -121,7 +121,9 @@ def build_runner(args) -> InferenceRunner:
 
 
 def setup_logging() -> None:
-    logging.basicConfig(
-        level=os.environ.get("LOG_LEVEL", "INFO"),
-        format="%(asctime)s %(process)d %(name)s %(levelname)s: %(message)s",
-    )
+    # Single shared config path (utils/log.py): %(host)s is resolved lazily
+    # per record, so multi-host runs report the right index even when logging
+    # was configured before jax.distributed.initialize().
+    from protein_structure_tokenizer_tpu.utils.log import setup_logging as _setup
+
+    _setup()

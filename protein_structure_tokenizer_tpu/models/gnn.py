@@ -39,7 +39,21 @@ class GnnConfig:
 
 
 def _gather_nodes(node_feats: jax.Array, idx: jax.Array) -> jax.Array:
-    """Batched gather of node rows: (B, N, D)[(B, E)] -> (B, E, D)."""
+    """Batched gather of node rows: (B, N, D)[(B, E)] -> (B, E, D).
+
+    On TPU the dynamic row gather lowers to a scalar-core loop (~1/4 HBM
+    rate); ops/gather_kernels.py does the same selection as an in-register
+    one-hot MXU matmul, BIT-EXACT in f32 (bf16x3 operand split) — so the
+    exact conformance path keeps its bitwise guarantee.  Differentiable via
+    a scatter-add VJP (training with --exact)."""
+    if (
+        jax.default_backend() == "tpu"
+        and node_feats.dtype == jnp.float32
+        and node_feats.shape[1] <= 2048
+    ):
+        from protein_structure_tokenizer_tpu.ops.gather_kernels import gather_rows_vjp
+
+        return gather_rows_vjp(node_feats, idx)
     return jnp.take_along_axis(node_feats, idx[..., None], axis=1)
 
 

@@ -46,6 +46,31 @@ def _gather_kernel(n_nodes: int, e_tile: int, idx_ref, nodes_ref, out_ref):
     out_ref[0] = acc
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_rows_vjp(nodes, idx, e_tile=2048, interpret=None):
+    """Differentiable wrapper: forward is the bit-exact kernel, backward the
+    textbook scatter-add (grad of a gather), so the exact conformance path can
+    use the kernel inside ``jax.grad`` (training with --exact)."""
+    return gather_rows(nodes, idx, e_tile=e_tile, interpret=interpret)
+
+
+def _gather_rows_fwd(nodes, idx, e_tile, interpret):
+    return gather_rows(nodes, idx, e_tile=e_tile, interpret=interpret), (
+        idx,
+        nodes.shape,
+    )
+
+
+def _gather_rows_bwd(e_tile, interpret, res, g):
+    idx, nodes_shape = res
+    dnodes = jnp.zeros(nodes_shape, g.dtype)
+    dnodes = jax.vmap(lambda d, i, gg: d.at[i].add(gg))(dnodes, idx, g)
+    return dnodes, None
+
+
+gather_rows_vjp.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("e_tile", "interpret"))
 def gather_rows(
     nodes: jax.Array,  # (B, N, D) float32

@@ -1,4 +1,4 @@
-"""Logger factory + tensor debug hook.
+"""Logging setup + tensor debug hook.
 
 Parity with the reference's observability surface
 (structure_tokenizer/utils/log.py:23-51 and scripts/lm/utils.py:50-64):
@@ -6,48 +6,57 @@ env-var-controlled level (``LOG_LEVEL``), a process-identifying format, and
 ``debug_log_tensor`` for tracing tensor shapes/dtypes at DEBUG level.  Ours
 additionally tags multi-host runs with the jax process index so interleaved
 pod logs remain attributable.
+
+One configuration path: every CLI calls :func:`setup_logging` (re-exported by
+``cli.common``), which installs a root ``basicConfig`` whose format includes a
+``%(host)s`` field resolved LAZILY per record by :class:`HostIndexFilter` —
+import-time configuration therefore still reports the right index after a
+later ``jax.distributed.initialize()``.
 """
 from __future__ import annotations
 
 import logging
 import os
-import sys
-from typing import Set
-
-_configured_roots: Set[str] = set()
 
 
 def _jax_process_index() -> int:
-    """Process index without forcing backend init (0 if jax is not up)."""
+    """Current process index, resolved at record-emit time.
+
+    Uses the public ``jax.process_index()`` only once the distributed system
+    is live (calling it earlier would force backend init); falls back to
+    ``CLOUD_TPU_TASK_ID`` (set by the TPU runtime on pod workers), else 0.
+    """
     try:
         import jax
 
-        # jax.process_index() initializes the backend; only call it when the
-        # distributed system was explicitly initialized, else assume host 0.
         if getattr(jax._src.distributed.global_state, "client", None) is not None:
             return jax.process_index()
     except Exception:
         pass
-    return int(os.environ.get("JAX_PROCESS_INDEX", "0"))
+    return int(os.environ.get("CLOUD_TPU_TASK_ID", "0") or "0")
 
 
-def get_logger(name: str) -> logging.Logger:
-    """A logger whose root is configured once: stdout handler, timestamped
-    format with OS pid + jax process index, level from ``LOG_LEVEL``."""
-    root = name.split(".")[0]
-    if root not in _configured_roots:
-        logger = logging.getLogger(root)
-        logger.propagate = False
-        fmt = (
-            "%(asctime)s | pid=%(process)d host={host} | %(levelname)s | "
-            "%(module)s:%(funcName)s:%(lineno)d | %(message)s"
-        ).format(host=_jax_process_index())
-        handler = logging.StreamHandler(sys.stdout)
-        handler.setFormatter(logging.Formatter(fmt=fmt, datefmt="%Y-%m-%d %H:%M:%S"))
-        logger.addHandler(handler)
-        logger.setLevel(os.environ.get("LOG_LEVEL", "INFO").upper() or "INFO")
-        _configured_roots.add(root)
-    return logging.getLogger(name)
+class HostIndexFilter(logging.Filter):
+    """Stamps ``record.host`` lazily so multi-host runs log the index that is
+    current WHEN the record is emitted, not when logging was configured."""
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        record.host = _jax_process_index()
+        return True
+
+
+_host_filter = HostIndexFilter()
+
+
+def setup_logging(level: str | None = None) -> None:
+    """Root logging config shared by every entry point (idempotent)."""
+    logging.basicConfig(
+        level=level or os.environ.get("LOG_LEVEL", "INFO"),
+        format="%(asctime)s pid=%(process)d host=%(host)s %(name)s %(levelname)s: %(message)s",
+    )
+    for handler in logging.getLogger().handlers:
+        if _host_filter not in handler.filters:
+            handler.addFilter(_host_filter)
 
 
 def debug_log_tensor(name: str, tensor, logger: logging.Logger) -> None:
