@@ -13,6 +13,12 @@ numbers are measured once and cached in bench_baseline.json.  The generate
 baseline uses our GPT running the reference's exact algorithm (full-block
 re-forward per token, no KV cache, gpt_layer.py:272-275) — a conservative
 proxy: it is at least as fast as the reference's haiku stack.
+
+Missing baselines are measured by a SUBPROCESS (``--measure-reference``)
+killed after REF_TIMEOUT_S: the reference's per-sample haiku decode stack can
+take >10 min of XLA compile on this backend, and a hung baseline must never
+stop the headline numbers from being reported.  The subprocess runs before
+this process touches the TPU (two processes cannot share the chip).
 """
 import glob
 import json
@@ -179,20 +185,18 @@ def bench_decode(lengths):
 
     for ids in batches:  # compile + warm each bucket
         _, out = runner.dispatch_decode(ids)
-        np.asarray(out["final_atom_positions"])
+        np.asarray(out["backbone_positions"])
     start = time.perf_counter()
     outs = [runner.dispatch_decode(ids)[1] for _ in range(TIMED_ITERS) for ids in batches]
     for o in outs:
-        np.asarray(o["final_atom_positions"])
+        np.asarray(o["backbone_positions"])
     elapsed = time.perf_counter() - start
     ours = total_valid * TIMED_ITERS / elapsed / n_chips
 
-    baselines = load_baselines()
-    ref = baselines.get("reference_decode_residues_per_sec_per_chip")
-    if ref is None:
-        ref = _bench_decode_reference(rows, params_seed=0)
-        if ref:
-            save_baseline("reference_decode_residues_per_sec_per_chip", ref)
+    # Baseline comes from the cache only; a missing entry was either measured
+    # by the --measure-reference subprocess before we started or timed out
+    # there (in which case vs_baseline falls back to 1.0 rather than hanging).
+    ref = load_baselines().get("reference_decode_residues_per_sec_per_chip")
     return ours, ref
 
 
@@ -279,16 +283,32 @@ def bench_generate():
         return batch * cfg.max_position_embeddings * iters / elapsed
 
     ours = run(True, TIMED_ITERS) / n_chips
-    baselines = load_baselines()
-    ref = baselines.get("reference_generate_tokens_per_sec_per_chip")
-    if ref is None:
-        try:
-            ref = run(False, 1) / n_chips
-            save_baseline("reference_generate_tokens_per_sec_per_chip", ref)
-        except Exception as e:
-            print(f"# generate baseline unavailable: {type(e).__name__}: {e}", file=sys.stderr)
-            ref = None
+    ref = load_baselines().get("reference_generate_tokens_per_sec_per_chip")
     return ours, ref
+
+
+def _measure_generate_reference():
+    """The no-KV-cache full-block-re-forward algorithm (reference
+    generation_utils.py:26-58) through our stack; cached for bench_generate."""
+    import jax
+
+    from protein_structure_tokenizer_tpu.lm import gpt, sampling
+
+    cfg = gpt.released_gpt_config(4096)
+    params = jax.device_put(gpt.init(jax.random.PRNGKey(0), cfg))
+    batch = 16
+    fn = jax.jit(
+        lambda k: sampling.generate(
+            params, cfg, k, batch, cfg.max_position_embeddings, use_cache=False
+        )
+    )
+    np.asarray(fn(jax.random.PRNGKey(1)))
+    start = time.perf_counter()
+    np.asarray(fn(jax.random.PRNGKey(2)))
+    elapsed = time.perf_counter() - start
+    rate = batch * cfg.max_position_embeddings / elapsed / len(jax.devices())
+    save_baseline("reference_generate_tokens_per_sec_per_chip", rate)
+    return rate
 
 
 def bench_reference(batch, valid_residues):
@@ -369,7 +389,15 @@ def _emit(metric, unit, ours, ref):
     )
 
 
-def main():
+BASELINE_KEYS = (
+    "reference_residues_per_sec_per_chip",
+    "reference_decode_residues_per_sec_per_chip",
+    "reference_generate_tokens_per_sec_per_chip",
+)
+REF_TIMEOUT_S = int(os.environ.get("PST_BENCH_REF_TIMEOUT_S", "900"))
+
+
+def _corpus_lengths():
     from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
 
     lengths = {}
@@ -378,6 +406,60 @@ def main():
             lengths[path] = parse_pdb_file(path).nb_residues
         except Exception:
             continue
+    return lengths
+
+
+def measure_reference_baselines():
+    """Measure any missing reference baselines, saving each as it lands (so a
+    timeout kill part-way still leaves the finished ones cached)."""
+    baselines = load_baselines()
+    if baselines.get(BASELINE_KEYS[2]) is None:
+        try:
+            print(f"# generate ref: {_measure_generate_reference():.1f}", file=sys.stderr)
+        except Exception as e:
+            print(f"# generate baseline failed: {e}", file=sys.stderr)
+    if baselines.get(BASELINE_KEYS[1]) is None:
+        lens = sorted(_corpus_lengths().values())
+        rows = sorted(lens[i % len(lens)] for i in range(DECODE_SUB * DECODE_BATCHES))
+        ref = _bench_decode_reference(rows, params_seed=0)
+        if ref:
+            save_baseline(BASELINE_KEYS[1], ref)
+            print(f"# decode ref: {ref:.1f}", file=sys.stderr)
+    if baselines.get(BASELINE_KEYS[0]) is None:
+        batch, valid_residues = featurize_corpus()
+        ref = bench_reference(batch, valid_residues)
+        if ref:
+            print(f"# tokenize ref: {ref:.1f}", file=sys.stderr)
+
+
+def ensure_reference_baselines():
+    """Populate missing baseline-cache entries from a subprocess that is
+    killed (whole process group) after REF_TIMEOUT_S.  Must run BEFORE this
+    process initializes the TPU — two processes cannot share the chip."""
+    import signal
+    import subprocess
+
+    if all(load_baselines().get(k) is not None for k in BASELINE_KEYS):
+        return
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--measure-reference"],
+        start_new_session=True,
+    )
+    try:
+        proc.wait(timeout=REF_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        print(f"# reference baseline measurement timed out after {REF_TIMEOUT_S}s; "
+              "continuing with partial cache", file=sys.stderr)
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+
+
+def main():
+    ensure_reference_baselines()
+    lengths = _corpus_lengths()
 
     dec_ours, dec_ref = bench_decode(lengths)
     _emit("casp14_decode_residues_per_sec_per_chip", "residues/s/chip", dec_ours, dec_ref)
@@ -388,9 +470,12 @@ def main():
     # Headline metric LAST: the driver records the final JSON line.
     batch, valid_residues = featurize_corpus()
     ours, n_chips = bench_ours(batch, valid_residues)
-    ref = bench_reference(batch, valid_residues)
+    ref = load_baselines().get(BASELINE_KEYS[0])
     _emit("casp14_tokenize_residues_per_sec_per_chip", "residues/s/chip", ours, ref)
 
 
 if __name__ == "__main__":
-    main()
+    if "--measure-reference" in sys.argv:
+        measure_reference_baselines()
+    else:
+        main()

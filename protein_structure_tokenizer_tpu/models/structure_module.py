@@ -66,12 +66,19 @@ def invariant_point_attention(
     *,
     exact: bool = False,
     attention_2d: Optional[jax.Array] = None,  # precomputed (B, N, N, h)
+    flash_ctx: Optional[dict] = None,
     mesh=None,
 ) -> jax.Array:
     """IPA.  ``exact=True`` reproduces the reference's broadcast-subtract
     formulas bit-for-bit (folding.py:225-241); the default fast mode uses the
     algebraically-equal matmul forms (|q-k|^2 = |q|^2+|k|^2-2qk on the MXU,
-    einsum for point values) — f32 throughout, drift at cancellation level."""
+    einsum for point values) — f32 throughout, drift at cancellation level.
+
+    ``flash_ctx`` (from structure_module, TPU decode default) routes the
+    logits->softmax->value contractions through the fused Pallas kernel
+    (ops/ipa_kernels.py) so the (B, h, N, N) tensor never reaches HBM; it
+    carries the hoisted pre-scaled pair bias, the bf16 pair track, and the
+    (B, N) mask."""
     batch, num_res, _ = inputs_1d.shape
     h = cfg.num_head
     sqk, sv = cfg.num_scalar_qk, cfg.num_scalar_v
@@ -116,6 +123,40 @@ def invariant_point_attention(
     q = jnp.swapaxes((scalar_weights * q_scalar).astype(in_dtype), -2, -3)  # (B,h,N,sqk)
     k = jnp.swapaxes(k_scalar, -2, -3)
     v = jnp.swapaxes(v_scalar, -2, -3)
+
+    if flash_ctx is not None and not exact:
+        from protein_structure_tokenizer_tpu.ops.ipa_kernels import flash_ipa
+
+        kn = jnp.sum(kp * kp, axis=(-1, -2))  # (B, h, N)
+        sqrt_hw = jnp.sqrt(head_point_weights)[None, :, None, None]
+        q_cat = jnp.concatenate(
+            [q.astype(f32), sqrt_hw * qp.reshape(qp.shape[:3] + (-1,))], axis=-1
+        )
+        k_cat = jnp.concatenate(
+            [k.astype(f32), sqrt_hw * kp.reshape(kp.shape[:3] + (-1,))], axis=-1
+        )
+        hw = head_point_weights[None, :, None]  # (1, h, 1)
+        vp = jnp.transpose(v_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3) f32
+        v_cat = jnp.concatenate(
+            [v.astype(f32), vp.reshape(vp.shape[:3] + (-1,))], axis=-1
+        )
+        # Column bias: the rank-1 |k_pts|^2 term plus the key mask (the row
+        # terms -0.5*hw*|q_pts|^2 and -1e5*(1-mask_i) are constant along the
+        # key axis, hence softmax-shift-invariant — dropped in the kernel).
+        kb = -0.5 * hw * kn - 1e5 * (1.0 - flash_ctx["mask"][:, None, :])
+        ov, oz = flash_ipa(
+            q_cat, k_cat, v_cat, flash_ctx["bias2d"], kb, flash_ctx["z2d"],
+        )
+        result_scalar, result_point_flat = jnp.split(ov, [sv], axis=-1)
+        result_point_global = result_point_flat.reshape(
+            result_point_flat.shape[:3] + (pv, 3)
+        )
+        result_attention_over_2d = oz.reshape(batch, num_res, -1).astype(in_dtype)
+        return _ipa_output(
+            p, cfg, result_scalar.astype(in_dtype), result_point_global,
+            result_attention_over_2d, affine, batch, num_res, h, sv, pv, in_dtype,
+        )
+
     if exact:
         # Reference form: broadcast-subtract then reduce — materializes a
         # (B, h, Nq, Nk, P) intermediate but is bit-identical to folding.py.
@@ -195,6 +236,26 @@ def invariant_point_attention(
             "bhqk,bhkpc->bhqpc", attn, vp, preferred_element_type=jnp.float32
         )
     result_scalar = result_scalar.astype(in_dtype)
+
+    result_attention_over_2d = jnp.einsum(
+        "bhij,bijc->bihc", attn.astype(in_dtype), inputs_2d, preferred_element_type=f32
+    ).astype(in_dtype)
+    result_attention_over_2d = result_attention_over_2d.reshape(batch, num_res, -1)
+
+    return _ipa_output(
+        p, cfg, result_scalar, result_point_global, result_attention_over_2d,
+        affine, batch, num_res, h, sv, pv, in_dtype,
+    )
+
+
+def _ipa_output(
+    p, cfg, result_scalar, result_point_global, result_attention_over_2d,
+    affine, batch, num_res, h, sv, pv, in_dtype,
+):
+    """Shared IPA tail: local-frame transform, point norms, concat, output
+    projection.  ``result_scalar`` (B, h, N, sv); ``result_point_global``
+    (B, h, N, pv, 3) f32; ``result_attention_over_2d`` (B, N, h*C2)."""
+    f32 = jnp.float32
     result_scalar = jnp.swapaxes(result_scalar, -2, -3).reshape(batch, num_res, h * sv)
     result_point_global = jnp.transpose(result_point_global, (0, 2, 4, 1, 3)).reshape(
         batch, num_res, 3, h * pv
@@ -208,11 +269,6 @@ def invariant_point_attention(
     point_norm = jnp.sqrt(
         cfg.dist_epsilon + jnp.sum(jnp.square(result_point_local), axis=-2)
     )  # (B, N, h*pv)
-
-    result_attention_over_2d = jnp.einsum(
-        "bhij,bijc->bihc", attn.astype(in_dtype), inputs_2d, preferred_element_type=f32
-    ).astype(in_dtype)
-    result_attention_over_2d = result_attention_over_2d.reshape(batch, num_res, -1)
 
     final_act = jnp.concatenate(
         [
@@ -274,6 +330,7 @@ def fold_iteration(
     *,
     exact: bool = False,
     attention_2d: Optional[jax.Array] = None,
+    flash_ctx: Optional[dict] = None,
     mesh=None,
 ) -> tuple[dict, dict]:
     affine = QuatRigid.from_tensor(activations["affine"])
@@ -288,6 +345,7 @@ def fold_iteration(
         affine,
         exact=exact,
         attention_2d=attention_2d,
+        flash_ctx=flash_ctx,
         mesh=mesh,
     )
     act = act + attn
@@ -327,6 +385,7 @@ def structure_module(
     sequence_mask: jax.Array,  # (B, N, 1)
     *,
     exact: bool = False,
+    use_pallas: bool | None = None,
     mesh=None,
 ) -> dict:
     act = layer_norm(params["single_layer_norm"], representations["single"])
@@ -352,10 +411,34 @@ def structure_module(
     )
     attention_2d = cp.constrain(attention_2d, mesh, cp.PAIR_SPEC)
 
+    # Fused flash-IPA kernel (ops/ipa_kernels.py): default ON for single-chip
+    # TPU decode — the (B, h, N, N) logits never reach HBM.  The hoisted,
+    # iteration-invariant pieces (pre-scaled transposed pair bias, bf16 pair
+    # track, row mask) are built once here outside the scan.
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and (
+            mesh is None or mesh.size == 1
+        )
+    flash_ctx = None
+    if use_pallas and not exact:
+        from protein_structure_tokenizer_tpu.ops.ipa_kernels import (
+            flash_ipa_supported,
+        )
+
+        if flash_ipa_supported(num_res):
+            attention_2d_weights = float(np.sqrt(1.0 / 3))
+            flash_ctx = {
+                "bias2d": attention_2d_weights
+                * jnp.transpose(attention_2d, (0, 3, 1, 2)).astype(jnp.float32),
+                "z2d": act_2d.astype(jnp.bfloat16),
+                "mask": sequence_mask[..., 0].astype(jnp.float32),
+            }
+
     def step(carry, _):
         new_carry, out = fold_iteration(
             fold_params, cfg, carry, sequence_mask, initial_act, act_2d,
-            exact=exact, attention_2d=attention_2d, mesh=mesh,
+            exact=exact, attention_2d=attention_2d, flash_ctx=flash_ctx,
+            mesh=mesh,
         )
         return new_carry, out
 

@@ -160,6 +160,27 @@ def _finish_output_dir(path: Optional[str]) -> None:
         pass
 
 
+# Dummy-ALA backbone atom37 occupancy: N, CA, C present, CB absent, O present
+# (vq3d._dummy_ala_features); constant across residues.
+ALA_BACKBONE_ATOM37_MASK = np.array([1, 1, 1, 0, 1] + [0] * 32, np.int32)
+
+
+def expand_backbone_atoms(backbone5: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Packed decode output (…, 5, 3) -> bitwise-identical full atom37 arrays.
+
+    Returns ``(positions (…, 37, 3), mask (…, 37))`` equal to what
+    ``decode_and_make_structure`` produces on device: slots 5..36 are
+    identically zero there (masked by ``atom37_gt_exists``), so only the first
+    five atom slots cross the wire.
+    """
+    positions = np.zeros(backbone5.shape[:-2] + (37, 3), backbone5.dtype)
+    positions[..., :5, :] = backbone5
+    mask = np.ascontiguousarray(
+        np.broadcast_to(ALA_BACKBONE_ATOM37_MASK, backbone5.shape[:-2] + (37,))
+    )
+    return positions, mask
+
+
 def dummy_ala_protein(positions: np.ndarray, mask: np.ndarray) -> Protein:
     """Backbone-only decoded structure as a dummy-ALA Protein, like the
     reference decode path (inference_runner.py:412-427)."""
@@ -263,10 +284,12 @@ class InferenceRunner:
                 params, cfg, quantized, nodes_mask, tokens_mask,
                 exact_ipa=exact_aggregation, mesh=model_mesh,
             )
-            return {
-                "final_atom_positions": out["final_atom_positions"],
-                "final_atom_mask": out["final_atom_mask"],
-            }
+            # The decoder is backbone-only (dummy-ALA: atom37 slots 0-4, with
+            # CB=3 masked to zero), so ship the packed (B, N, 5, 3) instead of
+            # the 86%-zeros (B, N, 37, 3) — 7.4x less device->host traffic.
+            # ``expand_backbone_atoms`` rebuilds the bitwise-identical atom37
+            # arrays host-side.
+            return {"backbone_positions": out["final_atom_positions"][..., :5, :]}
 
         if compute_dtype is not None:
             from protein_structure_tokenizer_tpu.runtime.precision import (
@@ -615,8 +638,9 @@ class InferenceRunner:
             """Block on one in-flight decode batch and persist the PDBs."""
             chunk, num_nodes, out = entry
             with timers.annotated_stage("device"):
-                positions = np.asarray(jax.device_get(out["final_atom_positions"]))
-                mask = np.asarray(jax.device_get(out["final_atom_mask"]))
+                positions, mask = expand_backbone_atoms(
+                    np.asarray(jax.device_get(out["backbone_positions"]))
+                )
             with timers.annotated_stage("write_pdb"):
                 for row, path in enumerate(chunk):
                     n = int(num_nodes[row])

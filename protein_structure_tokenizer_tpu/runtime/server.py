@@ -272,8 +272,13 @@ class BatchingEngine:
                 effective_len=bucket // cfg.downsampling_ratio,
             )
             num_nodes, out = self.runner.dispatch_decode(rows)
-            pos = np.asarray(jax.device_get(out["final_atom_positions"]))
-            mask = np.asarray(jax.device_get(out["final_atom_mask"]))
+            from protein_structure_tokenizer_tpu.runtime.runner import (
+                expand_backbone_atoms,
+            )
+
+            pos, mask = expand_backbone_atoms(
+                np.asarray(jax.device_get(out["backbone_positions"]))
+            )
             for row, i in enumerate(idxs):
                 n = int(num_nodes[row])
                 results[i] = {

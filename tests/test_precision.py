@@ -78,8 +78,8 @@ def test_bf16_runner_decode():
 
     out32 = f32_runner.decode_fn(f32_runner.params, quantized, nodes_mask, tokens_mask)
     out16 = bf16_runner.decode_fn(bf16_runner.params, quantized, nodes_mask, tokens_mask)
-    p32 = np.asarray(out32["final_atom_positions"])
-    p16 = np.asarray(out16["final_atom_positions"])
+    p32 = np.asarray(out32["backbone_positions"])
+    p16 = np.asarray(out16["backbone_positions"])
     assert p16.dtype == np.float32  # outputs cast back
     assert np.isfinite(p16).all()
     scale = np.abs(p32).mean() + 1e-6

@@ -33,6 +33,41 @@ def test_masks_from_token_sequences():
     np.testing.assert_array_equal(nm.sum(axis=-1), [6, 2])
 
 
+def test_packed_backbone_decode_matches_full_atom37():
+    """The runner ships only the 5 backbone atom37 slots over the wire;
+    host-side expansion must be bitwise what decode_and_make_structure
+    produces on device (slots 5..36 are identically zero for dummy-ALA)."""
+    import jax.numpy as jnp
+
+    from protein_structure_tokenizer_tpu.models.config import tiny_preset
+    from protein_structure_tokenizer_tpu.runtime.runner import expand_backbone_atoms
+
+    cfg = tiny_preset(seq_max=16, k=4, downsampling=2, dim=16)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    runner = InferenceRunner(cfg, params)
+
+    rng = np.random.RandomState(0)
+    quantized = jnp.asarray(rng.randn(8, 8, 6).astype(np.float32))
+    nodes_mask = jnp.ones((8, 16, 1), jnp.float32)
+    tokens_mask = jnp.ones((8, 8, 1), jnp.float32)
+
+    packed = runner.decode_fn(runner.params, quantized, nodes_mask, tokens_mask)
+    assert np.asarray(packed["backbone_positions"]).shape == (8, 16, 5, 3)
+
+    # The packing assumptions, pinned on the full device output: every atom37
+    # slot >= 5 (and CB=3) is identically zero and the mask is the constant
+    # dummy-ALA pattern — so shipping slots 0-4 loses nothing.
+    full = vq3d.decode_and_make_structure(
+        params, cfg, quantized, nodes_mask, tokens_mask
+    )
+    full_pos = np.asarray(full["final_atom_positions"])
+    assert (full_pos[..., 5:, :] == 0).all()
+    assert (full_pos[..., 3, :] == 0).all()
+    pos, mask = expand_backbone_atoms(full_pos[..., :5, :])
+    np.testing.assert_array_equal(pos, full_pos)
+    np.testing.assert_array_equal(mask, np.asarray(full["final_atom_mask"]))
+
+
 @pytest.mark.skipif(not CASP14, reason="CASP14 corpus not mounted")
 @pytest.mark.slow
 def test_tokenize_decode_roundtrip(tmp_path):
