@@ -195,10 +195,9 @@ def invariant_point_attention(
         )
 
     if attention_2d is None:
-        attention_2d = af2_linear(p["attention_2d"], inputs_2d)  # (B, N, N, h)
-    attn_logits = attn_logits + attention_2d_weights * jnp.transpose(
-        attention_2d, (0, 3, 1, 2)
-    ).astype(f32)
+        a2 = af2_linear(p["attention_2d"], inputs_2d)  # (B, N, N, h)
+        attention_2d = attention_2d_weights * jnp.transpose(a2, (0, 3, 1, 2))
+    attn_logits = attn_logits + attention_2d.astype(f32)
 
     mask_2d = (mask * jnp.swapaxes(mask, -1, -2)).astype(f32)  # (B, N, N)
     attn_logits = attn_logits - 1e5 * (1.0 - mask_2d[:, None])
@@ -207,6 +206,15 @@ def invariant_point_attention(
     # keys axis whole — each row's softmax is complete on its chip.
     attn_logits = cp.constrain(attn_logits, mesh, cp.LOGITS_SPEC)
     attn = jax.nn.softmax(attn_logits)  # (B, h, Nq, Nk) f32
+
+    # On TPU the consumer matmuls truncate their operands to bf16 anyway (XLA
+    # DEFAULT precision) — storing the softmax output bf16 is bit-identical
+    # math with HALF the HBM traffic for the two value contractions (the
+    # probabilities tensor is written once as bf16 and read twice).  CPU
+    # keeps f32 (its einsums are true f32, so a cast would CHANGE results
+    # and the pinned tolerances of the parity suites).
+    bf16_attn = (not exact) and jax.default_backend() == "tpu"
+    attn_rd = attn.astype(jnp.bfloat16) if bf16_attn else attn
 
     vp = jnp.transpose(v_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3) f32
     if exact:
@@ -222,7 +230,8 @@ def invariant_point_attention(
         # (B, h, N, N) attention tensor instead of two.
         v_cat = jnp.concatenate([v, vp.reshape(vp.shape[:3] + (-1,))], axis=-1)
         result_cat = jnp.einsum(
-            "bhqk,bhkc->bhqc", attn, v_cat, preferred_element_type=f32
+            "bhqk,bhkc->bhqc", attn_rd, v_cat.astype(attn_rd.dtype),
+            preferred_element_type=f32,
         )
         result_scalar, result_point_flat = jnp.split(result_cat, [sv], axis=-1)
         result_point_global = result_point_flat.reshape(
@@ -237,8 +246,19 @@ def invariant_point_attention(
         )
     result_scalar = result_scalar.astype(in_dtype)
 
+    if exact:
+        feat_2d = inputs_2d
+        attn_2d_rd = attn.astype(in_dtype)
+    else:
+        # Same bf16-operand trick for the pair-track read — the largest
+        # per-iteration HBM term ((B, N, N, C2): 4.3 GB f32 at B=32/N=512,
+        # halved as bf16; the matmul truncated it to bf16 regardless.
+        feat_2d = (
+            inputs_2d.astype(jnp.bfloat16) if bf16_attn else inputs_2d
+        )
+        attn_2d_rd = attn_rd if bf16_attn else attn.astype(in_dtype)
     result_attention_over_2d = jnp.einsum(
-        "bhij,bijc->bihc", attn.astype(in_dtype), inputs_2d, preferred_element_type=f32
+        "bhij,bijc->bihc", attn_2d_rd, feat_2d, preferred_element_type=f32
     ).astype(in_dtype)
     result_attention_over_2d = result_attention_over_2d.reshape(batch, num_res, -1)
 
@@ -405,20 +425,36 @@ def structure_module(
 
     # The pair-bias projection of the iteration-invariant 2d track is hoisted
     # out of the scan: identical values every iteration, so computing it once
-    # saves 7 redundant (B, N, N, C) matmuls and their HBM re-reads.
-    attention_2d = af2_linear(
-        subtree(fold_params, "invariant_point_attention")["attention_2d"], act_2d
-    )
-    attention_2d = cp.constrain(attention_2d, mesh, cp.PAIR_SPEC)
+    # saves 7 redundant (B, N, N, C) matmuls and their HBM re-reads.  The
+    # scale + (0,3,1,2) transpose into logits layout also happen once here —
+    # the 8 in-scan reads are then contiguous (elementwise-identical values,
+    # so the exact path keeps its bit-parity).
+    attention_2d_weights = float(np.sqrt(1.0 / 3))
+    attention_2d = attention_2d_weights * jnp.transpose(
+        af2_linear(
+            subtree(fold_params, "invariant_point_attention")["attention_2d"],
+            act_2d,
+        ),
+        (0, 3, 1, 2),
+    )  # (B, h, N, N)
+    attention_2d = cp.constrain(attention_2d, mesh, cp.LOGITS_SPEC)
 
-    # Fused flash-IPA kernel (ops/ipa_kernels.py): default ON for single-chip
-    # TPU decode — the (B, h, N, N) logits never reach HBM.  The hoisted,
-    # iteration-invariant pieces (pre-scaled transposed pair bias, bf16 pair
-    # track, row mask) are built once here outside the scan.
+    # Iteration-invariant pair operand for the in-scan attention-over-2d
+    # einsum: materialized bf16 ONCE on TPU (the matmul truncates operands to
+    # bf16 regardless — identical values, half the per-iteration HBM read).
+    feat_2d_scan = act_2d
+    if not exact and jax.default_backend() == "tpu":
+        feat_2d_scan = act_2d.astype(jnp.bfloat16)
+
+    # Fused flash-IPA kernel (ops/ipa_kernels.py): OPT-IN (use_pallas=True).
+    # The fusion is correct (tests/test_ipa_kernel.py) but v5e measurements
+    # show Mosaic serializes the per-head/per-row small matmuls (M=8..12 MXU
+    # rows) at ~0.5 ms per grid step — 1050 ms/iteration at B=32/N=512 vs
+    # ~7.5 ms for the XLA fast path, whose einsum+softmax chain already runs
+    # near the HBM roofline.  Kept for shapes/backends where the tradeoff
+    # differs; the default inference path stays on the XLA schedule.
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and (
-            mesh is None or mesh.size == 1
-        )
+        use_pallas = False
     flash_ctx = None
     if use_pallas and not exact:
         from protein_structure_tokenizer_tpu.ops.ipa_kernels import (
@@ -426,17 +462,15 @@ def structure_module(
         )
 
         if flash_ipa_supported(num_res):
-            attention_2d_weights = float(np.sqrt(1.0 / 3))
             flash_ctx = {
-                "bias2d": attention_2d_weights
-                * jnp.transpose(attention_2d, (0, 3, 1, 2)).astype(jnp.float32),
+                "bias2d": attention_2d.astype(jnp.float32),
                 "z2d": act_2d.astype(jnp.bfloat16),
                 "mask": sequence_mask[..., 0].astype(jnp.float32),
             }
 
     def step(carry, _):
         new_carry, out = fold_iteration(
-            fold_params, cfg, carry, sequence_mask, initial_act, act_2d,
+            fold_params, cfg, carry, sequence_mask, initial_act, feat_2d_scan,
             exact=exact, attention_2d=attention_2d, flash_ctx=flash_ctx,
             mesh=mesh,
         )
