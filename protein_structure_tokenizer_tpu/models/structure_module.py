@@ -65,8 +65,7 @@ def invariant_point_attention(
     affine: QuatRigid,  # batch shape (B, N)
     *,
     exact: bool = False,
-    attention_2d: Optional[jax.Array] = None,  # precomputed (B, N, N, h)
-    flash_ctx: Optional[dict] = None,
+    attention_2d: Optional[jax.Array] = None,  # pre-scaled logits-layout (B, h, N, N)
     mesh=None,
 ) -> jax.Array:
     """IPA.  ``exact=True`` reproduces the reference's broadcast-subtract
@@ -74,11 +73,9 @@ def invariant_point_attention(
     algebraically-equal matmul forms (|q-k|^2 = |q|^2+|k|^2-2qk on the MXU,
     einsum for point values) — f32 throughout, drift at cancellation level.
 
-    ``flash_ctx`` (from structure_module, TPU decode default) routes the
-    logits->softmax->value contractions through the fused Pallas kernel
-    (ops/ipa_kernels.py) so the (B, h, N, N) tensor never reaches HBM; it
-    carries the hoisted pre-scaled pair bias, the bf16 pair track, and the
-    (B, N) mask."""
+    ``attention_2d``, when supplied (structure_module hoists it out of the
+    fold scan), must already have ``attention_2d_weights`` folded in and be
+    transposed to the (B, h, N, N) logits layout."""
     batch, num_res, _ = inputs_1d.shape
     h = cfg.num_head
     sqk, sv = cfg.num_scalar_qk, cfg.num_scalar_v
@@ -123,39 +120,6 @@ def invariant_point_attention(
     q = jnp.swapaxes((scalar_weights * q_scalar).astype(in_dtype), -2, -3)  # (B,h,N,sqk)
     k = jnp.swapaxes(k_scalar, -2, -3)
     v = jnp.swapaxes(v_scalar, -2, -3)
-
-    if flash_ctx is not None and not exact:
-        from protein_structure_tokenizer_tpu.ops.ipa_kernels import flash_ipa
-
-        kn = jnp.sum(kp * kp, axis=(-1, -2))  # (B, h, N)
-        sqrt_hw = jnp.sqrt(head_point_weights)[None, :, None, None]
-        q_cat = jnp.concatenate(
-            [q.astype(f32), sqrt_hw * qp.reshape(qp.shape[:3] + (-1,))], axis=-1
-        )
-        k_cat = jnp.concatenate(
-            [k.astype(f32), sqrt_hw * kp.reshape(kp.shape[:3] + (-1,))], axis=-1
-        )
-        hw = head_point_weights[None, :, None]  # (1, h, 1)
-        vp = jnp.transpose(v_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3) f32
-        v_cat = jnp.concatenate(
-            [v.astype(f32), vp.reshape(vp.shape[:3] + (-1,))], axis=-1
-        )
-        # Column bias: the rank-1 |k_pts|^2 term plus the key mask (the row
-        # terms -0.5*hw*|q_pts|^2 and -1e5*(1-mask_i) are constant along the
-        # key axis, hence softmax-shift-invariant — dropped in the kernel).
-        kb = -0.5 * hw * kn - 1e5 * (1.0 - flash_ctx["mask"][:, None, :])
-        ov, oz = flash_ipa(
-            q_cat, k_cat, v_cat, flash_ctx["bias2d"], kb, flash_ctx["z2d"],
-        )
-        result_scalar, result_point_flat = jnp.split(ov, [sv], axis=-1)
-        result_point_global = result_point_flat.reshape(
-            result_point_flat.shape[:3] + (pv, 3)
-        )
-        result_attention_over_2d = oz.reshape(batch, num_res, -1).astype(in_dtype)
-        return _ipa_output(
-            p, cfg, result_scalar.astype(in_dtype), result_point_global,
-            result_attention_over_2d, affine, batch, num_res, h, sv, pv, in_dtype,
-        )
 
     if exact:
         # Reference form: broadcast-subtract then reduce — materializes a
@@ -350,7 +314,6 @@ def fold_iteration(
     *,
     exact: bool = False,
     attention_2d: Optional[jax.Array] = None,
-    flash_ctx: Optional[dict] = None,
     mesh=None,
 ) -> tuple[dict, dict]:
     affine = QuatRigid.from_tensor(activations["affine"])
@@ -365,7 +328,6 @@ def fold_iteration(
         affine,
         exact=exact,
         attention_2d=attention_2d,
-        flash_ctx=flash_ctx,
         mesh=mesh,
     )
     act = act + attn
@@ -405,7 +367,6 @@ def structure_module(
     sequence_mask: jax.Array,  # (B, N, 1)
     *,
     exact: bool = False,
-    use_pallas: bool | None = None,
     mesh=None,
 ) -> dict:
     act = layer_norm(params["single_layer_norm"], representations["single"])
@@ -446,33 +407,19 @@ def structure_module(
     if not exact and jax.default_backend() == "tpu":
         feat_2d_scan = act_2d.astype(jnp.bfloat16)
 
-    # Fused flash-IPA kernel (ops/ipa_kernels.py): OPT-IN (use_pallas=True).
-    # The fusion is correct (tests/test_ipa_kernel.py) but v5e measurements
-    # show Mosaic serializes the per-head/per-row small matmuls (M=8..12 MXU
-    # rows) at ~0.5 ms per grid step — 1050 ms/iteration at B=32/N=512 vs
-    # ~7.5 ms for the XLA fast path, whose einsum+softmax chain already runs
-    # near the HBM roofline.  Kept for shapes/backends where the tradeoff
-    # differs; the default inference path stays on the XLA schedule.
-    if use_pallas is None:
-        use_pallas = False
-    flash_ctx = None
-    if use_pallas and not exact:
-        from protein_structure_tokenizer_tpu.ops.ipa_kernels import (
-            flash_ipa_supported,
-        )
-
-        if flash_ipa_supported(num_res):
-            flash_ctx = {
-                "bias2d": attention_2d.astype(jnp.float32),
-                "z2d": act_2d.astype(jnp.bfloat16),
-                "mask": sequence_mask[..., 0].astype(jnp.float32),
-            }
+    # NOTE on a fused "flash-IPA" Pallas kernel: tried and measured in an
+    # earlier round, then removed.  The attention-over-2d contraction
+    # (bhij,bijc->bihc) is intrinsically a batch=B*N, M=num_head(12) batched
+    # matmul — no grid layout gives Mosaic MXU-shaped work for it, and v5e
+    # measurements showed ~140x regression (serialized small matmuls) vs this
+    # XLA schedule, which already sits near the (B, h, N, N) HBM roofline
+    # thanks to the hoisted pair bias, one-pass pair LN, bf16 pair operand,
+    # and bf16 softmax store below.
 
     def step(carry, _):
         new_carry, out = fold_iteration(
             fold_params, cfg, carry, sequence_mask, initial_act, feat_2d_scan,
-            exact=exact, attention_2d=attention_2d, flash_ctx=flash_ctx,
-            mesh=mesh,
+            exact=exact, attention_2d=attention_2d, mesh=mesh,
         )
         return new_carry, out
 
