@@ -22,6 +22,21 @@ try:
 except AttributeError:  # older jax: XLA_FLAGS fallback above applies
     pass
 
+# Most suite wall-clock is XLA CPU compilation of the N=512 model programs,
+# not execution.  Persist compiled executables next to the repo (committed,
+# like bench.py's .jax_cache) so reruns — including a fresh clone on the same
+# machine — skip straight to execution.  Cache keys include jaxlib version,
+# backend and HLO hashes: a stale entry silently recompiles, never misbehaves.
+_TEST_CACHE = os.environ.get(
+    "PST_TEST_JAX_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"),
+)
+if _TEST_CACHE:
+    os.makedirs(_TEST_CACHE, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _TEST_CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 for path in (REPO_ROOT, os.path.join(REPO_ROOT, "tests", "refsupport")):
     if path not in sys.path:
