@@ -120,30 +120,37 @@ def default_length_buckets(config) -> Optional[tuple]:
 
 
 _RUN_SENTINEL = ".pst_run"
+# Adjudication waits (module-level for tests): process 0 decides in
+# _P0_WAIT_S; peers out-wait that verdict before refusing.
+_P0_WAIT_S = 2.0
+_PEER_WAIT_S = 10.0
 
 
 def _make_output_dir(path: str) -> None:
     """Reference semantics — refuse a PRE-EXISTING output dir
     (inference_runner.py:265) — made multi-host safe.
 
-    Every process drops a sentinel file right after creating the dir, so
-    process 0 can tell a dir created by a RACING PEER of this run (sentinel
-    present or imminent — tolerated) from stale user data (no sentinel —
-    refused).  A short wait covers the create-dir→write-sentinel gap."""
+    Only the process whose ``makedirs`` WINS may write into the dir (it drops
+    a sentinel immediately).  Every other process — process 0 included —
+    waits for that sentinel before touching anything: a sentinel appearing
+    proves a racing peer of this run created the dir; a timeout means the dir
+    pre-existed (stale user data) and EVERY process refuses it, so no peer
+    ever pollutes a directory that is about to be adjudicated stale.  Peers
+    wait longer than process 0 so a refusal is never racy against process 0's
+    own verdict."""
     sentinel = os.path.join(path, _RUN_SENTINEL)
     try:
         os.makedirs(path)
     except FileExistsError:
-        if jax.process_index() != 0:
-            pass  # peer or user dir — process 0 adjudicates
-        else:
-            deadline = time.perf_counter() + 2.0
-            while not os.path.exists(sentinel):
-                if time.perf_counter() > deadline:
-                    raise FileExistsError(
-                        f"output dir already exists: {path}"
-                    ) from None
-                time.sleep(0.05)
+        wait_s = _P0_WAIT_S if jax.process_index() == 0 else _PEER_WAIT_S
+        deadline = time.perf_counter() + wait_s
+        while not os.path.exists(sentinel):
+            if time.perf_counter() > deadline:
+                raise FileExistsError(
+                    f"output dir already exists: {path}"
+                ) from None
+            time.sleep(0.05)
+        return  # a racing peer of this run owns the dir
     with open(sentinel, "w"):
         pass
 

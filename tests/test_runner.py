@@ -191,3 +191,60 @@ def test_tokens_independent_of_mesh_topology():
     assert tokens_1.keys() == tokens_8.keys()
     for name in tokens_1:
         np.testing.assert_array_equal(tokens_1[name], tokens_8[name])
+
+
+def test_make_output_dir_refuses_stale_dir(tmp_path, monkeypatch):
+    """A pre-existing dir with user data is refused by process 0 — and the
+    user's files are untouched, no sentinel left behind."""
+    from protein_structure_tokenizer_tpu.runtime import runner as runner_mod
+
+    stale = tmp_path / "out"
+    stale.mkdir()
+    (stale / "user_data.txt").write_text("precious")
+    monkeypatch.setattr(runner_mod, "_P0_WAIT_S", 0.2)
+    with pytest.raises(FileExistsError):
+        runner_mod._make_output_dir(str(stale))
+    assert sorted(p.name for p in stale.iterdir()) == ["user_data.txt"]
+    assert (stale / "user_data.txt").read_text() == "precious"
+
+
+def test_make_output_dir_peer_refuses_stale_without_polluting(tmp_path, monkeypatch):
+    """Non-zero processes must NOT write into a pre-existing dir before
+    process 0's verdict: with no creator sentinel ever appearing, the peer
+    times out, raises, and leaves the user's dir byte-identical (the
+    round-2 race: peers used to drop their sentinel immediately)."""
+    from protein_structure_tokenizer_tpu.runtime import runner as runner_mod
+
+    stale = tmp_path / "out"
+    stale.mkdir()
+    (stale / "user_data.txt").write_text("precious")
+    monkeypatch.setattr(runner_mod, "_PEER_WAIT_S", 0.3)
+    monkeypatch.setattr(runner_mod.jax, "process_index", lambda: 1)
+    with pytest.raises(FileExistsError):
+        runner_mod._make_output_dir(str(stale))
+    assert sorted(p.name for p in stale.iterdir()) == ["user_data.txt"]
+
+
+def test_make_output_dir_peer_joins_racing_creator(tmp_path, monkeypatch):
+    """A dir whose creator already dropped the run sentinel is a racing peer
+    of THIS run: every other process joins it without error."""
+    from protein_structure_tokenizer_tpu.runtime import runner as runner_mod
+
+    won = tmp_path / "out"
+    won.mkdir()
+    (won / runner_mod._RUN_SENTINEL).write_text("")
+    monkeypatch.setattr(runner_mod.jax, "process_index", lambda: 1)
+    runner_mod._make_output_dir(str(won))  # must not raise
+    # process 0 also joins (its shorter wait still sees the sentinel)
+    monkeypatch.setattr(runner_mod.jax, "process_index", lambda: 0)
+    runner_mod._make_output_dir(str(won))
+
+
+def test_make_output_dir_fresh_creates_sentinel(tmp_path):
+    from protein_structure_tokenizer_tpu.runtime import runner as runner_mod
+
+    fresh = tmp_path / "out"
+    runner_mod._make_output_dir(str(fresh))
+    assert (fresh / runner_mod._RUN_SENTINEL).exists()
+    runner_mod._finish_output_dir(str(fresh))
+    assert not (fresh / runner_mod._RUN_SENTINEL).exists()
