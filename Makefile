@@ -15,10 +15,11 @@ $(NATIVE_LIB): $(NATIVE_DIR)/tmscore.cc $(NATIVE_DIR)/tmalign.cc $(NATIVE_DIR)/f
 test:
 	python -m pytest tests/ -x -q
 
-# Fast tier (~3 min): skips multi-process / reference-golden-generation /
-# end-to-end-CLI tests marked `slow`.
+# Fast tier (<3 min with the committed goldens + compile cache): skips
+# multi-process / end-to-end-CLI tests marked `slow`; two xdist workers,
+# whole files per worker so module-scoped golden fixtures load once.
 test-fast:
-	python -m pytest tests/ -x -q -m "not slow"
+	python -m pytest tests/ -x -q -m "not slow" -n 2 --dist loadfile
 
 # Container image; ACCELERATOR in {TPU, GPU, CPU} (reference Makefile:5,37-99)
 ACCELERATOR ?= TPU

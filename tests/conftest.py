@@ -35,7 +35,10 @@ _TEST_CACHE = os.environ.get(
 if _TEST_CACHE:
     os.makedirs(_TEST_CACHE, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _TEST_CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    # Cache EVERYTHING: the suite's cold cost is dominated by hundreds of
+    # sub-second compiles (per-shape init programs), not a few big ones.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 for path in (REPO_ROOT, os.path.join(REPO_ROOT, "tests", "refsupport")):
