@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from protein_structure_tokenizer_tpu.parallel import cp
+from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
 from protein_structure_tokenizer_tpu.models.layers import (
     masked_layer_norm,
     mlp,
@@ -132,7 +133,10 @@ def _message_layer(
     # fast path on TPU.
     pallas_exact_gather = use_pallas == "exact_gather"
     use_pallas = (
-        bool(use_pallas) and fast and layer_cls == "MPNNLayer" and mesh is None
+        bool(use_pallas)
+        and fast
+        and layer_cls == "MPNNLayer"
+        and mesh_lib.single_device(mesh)
     )
     if layer_cls == "MPNNLayer":
         activation = jax.nn.gelu
@@ -321,8 +325,18 @@ def graph_neural_network(
         # tokens bit-identical; tools/bench_encode.py).
         use_pallas = jax.default_backend() == "tpu"
     # Order matters: keep use_pallas's value (it may be the "exact_gather"
-    # sentinel) rather than the boolean gates.
-    use_pallas = fast and config.layer_cls == "MPNNLayer" and use_pallas
+    # sentinel) rather than the boolean gates.  Kernels need arrays whole on
+    # one device (pallas_call has no GSPMD partitioning rules) — resolve
+    # that HERE, not in _message_layer, so the one-hot fallback below is
+    # built whenever the kernels are actually off (a silent downstream
+    # disable used to leave the runner's mesh path on raw dynamic gathers:
+    # 103 ms vs 33 ms per B=64/N=512 batch).
+    use_pallas = (
+        fast
+        and config.layer_cls == "MPNNLayer"
+        and mesh_lib.single_device(mesh)
+        and use_pallas
+    )
     # jnp fast path on TPU (pallas off): the sender gathers (2 per layer,
     # ~45% of encode device time at 1/4 HBM rate as dynamic gathers) become
     # MXU matmuls against ONE bf16 one-hot — passed in by the caller

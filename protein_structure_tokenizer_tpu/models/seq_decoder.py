@@ -29,6 +29,7 @@ from protein_structure_tokenizer_tpu.models.layers import (
 )
 from protein_structure_tokenizer_tpu.models.posenc import sinusoidal_features
 from protein_structure_tokenizer_tpu.parallel import cp
+from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
 from protein_structure_tokenizer_tpu.utils.params import Params, subtree, with_prefix
 
 
@@ -170,16 +171,23 @@ def sequence_decoder(
     """
     batch, n, _ = single_emb.shape
 
-    # Fused Pallas pair kernel: default ON for TPU.  Round 1 measured it
-    # LOSING to XLA's jnp schedule (44 vs 34 ms at B=16/N=512) because its
-    # full-f32 Mosaic dots lower to multi-pass MXU products; with bf16
-    # operand truncation (XLA's own DEFAULT-precision semantics) the whole
-    # chain is one VMEM-resident pass over the (B, N, N, C) plane.
-    # use_pallas="exact_dots" keeps full-f32 products (tight-equivalence
-    # tests); the ``exact`` conformance path bypasses the kernel entirely.
+    # Fused Pallas pair kernel: OPT-IN (use_pallas=True).  End-to-end v5e
+    # decode A/B at B=32 (round 3, honest fetch barriers, warm compiles):
+    # the kernel loses ~10% at N=512 (211-233 vs 190-213 ms), ties within
+    # run-to-run noise at N=128-384.  XLA's schedule for the pair chain is
+    # already HBM-roofline-bound with operands fed bf16 (DEFAULT matmul
+    # precision), so the fusion has no traffic left to remove at the
+    # flagship shape.  use_pallas="exact_dots" keeps full-f32 products
+    # (tight-equivalence tests); the ``exact`` conformance path bypasses the
+    # kernel entirely.
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and mesh is None
-    if use_pallas and not exact and _fused_pair_applicable(params, cfg, n):
+        use_pallas = False
+    if (
+        use_pallas
+        and not exact
+        and mesh_lib.single_device(mesh)  # pallas_call: no GSPMD partitioning
+        and _fused_pair_applicable(params, cfg, n)
+    ):
         return single_emb, _fused_pair_path(
             params, cfg, single_emb, nodes_mask,
             bf16_operands=use_pallas != "exact_dots",

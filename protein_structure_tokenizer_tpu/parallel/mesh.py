@@ -76,6 +76,12 @@ def constrain(x: jax.Array, mesh: Optional[Mesh], spec: P, axis_name: str) -> ja
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
+def single_device(mesh: Optional[Mesh]) -> bool:
+    """True when arrays under this mesh live whole on one device — Pallas
+    kernels (no GSPMD partitioning rules) are safe exactly then."""
+    return mesh is None or mesh.size == 1
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding for batched arrays."""
     return NamedSharding(mesh, P(DATA_AXIS))

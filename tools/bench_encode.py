@@ -69,18 +69,29 @@ def main():
     kw = {
         "default": {},
         "pallas": {"use_pallas": True},
+        "jnp": {"use_pallas": False},  # one-hot MXU fast path, no kernels
         "exact": {"exact_aggregation": True},
         "no_onehot": {"use_onehot": False},
     }
-    for name in variants:
-        fn = jax.jit(
-            lambda p, g, kw=kw[name]: vq3d.encode_and_quantize(
-                p, cfg, g, compute_usage=False, **kw
-            )["tokens"]
+    from protein_structure_tokenizer_tpu.runtime.runner import pad_tokens_axis
+
+    for n in (512, 256, 128):
+        graph_n = pad_tokens_axis(
+            synthetic_graph(batch, n, 50, 1, int(n * 0.8)),
+            cfg.down_sampler.max_out_len,
         )
-        dt = timeit(fn, params, graph)
-        res_per_s = batch * 512 / dt
-        print(f"{name:10s} B={batch}: {dt*1e3:8.2f} ms/batch  {res_per_s/1e3:8.1f}k res/s")
+        for name in variants:
+            fn = jax.jit(
+                lambda p, g, kw=kw[name]: vq3d.encode_and_quantize(
+                    p, cfg, g, compute_usage=False, **kw
+                )["tokens"]
+            )
+            dt = timeit(fn, params, graph_n)
+            res_per_s = batch * n / dt
+            print(
+                f"{name:10s} B={batch} N={n}: {dt*1e3:8.2f} ms/batch  "
+                f"{res_per_s/1e3:8.1f}k res/s (padded)"
+            )
 
 
 if __name__ == "__main__":
