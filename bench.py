@@ -53,7 +53,10 @@ if _CACHE_DIR:
 
     os.makedirs(_CACHE_DIR, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    # Cache EVERYTHING: on this backend even the sub-second param-init
+    # programs cost a multi-second remote-compile round trip each.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 CASP14_DIR = "/root/reference/casp14_pdbs"
 BASELINE_CACHE = os.path.join(REPO_ROOT, "bench_baseline.json")
@@ -70,7 +73,7 @@ TIMED_ITERS = int(os.environ.get("PST_BENCH_ITERS", "3"))
 # warm cache: decode measured 35-77k res/s across same-day runs).  Each
 # workload therefore times TIMED_WINDOWS whole blocks and reports the best —
 # the block least perturbed by tunnel/host interference.
-TIMED_WINDOWS = int(os.environ.get("PST_BENCH_WINDOWS", "3"))
+TIMED_WINDOWS = int(os.environ.get("PST_BENCH_WINDOWS", "5"))
 
 
 def best_window(run_block) -> float:
