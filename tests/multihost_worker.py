@@ -46,6 +46,23 @@ def main() -> None:
 
     pdbs = sorted(glob.glob(os.path.join(workdir, "pdbs", "*.pdb")))
     token_dir = os.path.join(workdir, "tokens")
+
+    if len(sys.argv) > 5 and sys.argv[5] == "stale":
+        # Stale-output-dir adjudication: the parent pre-created token_dir
+        # with user data.  EVERY process must refuse it (FileExistsError)
+        # without writing anything into it.
+        try:
+            runner.tokenize(pdbs, token_dir, batch_size_per_device=1)
+            refused = False
+        except FileExistsError:
+            refused = True
+        with open(os.path.join(workdir, f"result_{pid}.json"), "w") as f:
+            json.dump(
+                {"refused": refused, "dir_contents": sorted(os.listdir(token_dir))},
+                f,
+            )
+        return
+
     # All processes enter tokenize together (the runner creates the output
     # dir multi-host-safely); each featurizes and saves only its own
     # contiguous slice of every global batch.

@@ -109,3 +109,41 @@ def test_two_process_run_matches_single_process(tmp_path):
     tokens_global = rng.randint(0, 40, size=(4, 9)).astype(np.int32)
     ref_loss, _ = lm_loss(lm_params, gcfg, LmTrainConfig(), tokens_global)
     assert results[0]["lm_loss"] == pytest.approx(float(ref_loss), rel=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_stale_output_dir_aborts_cleanly(tmp_path):
+    """A pre-existing output dir with user data must be refused by BOTH
+    processes with the user's files untouched — the round-2 race let peers
+    drop their sentinel into the dir before process 0's verdict."""
+    pdb_dir = tmp_path / "pdbs"
+    pdb_dir.mkdir()
+    for i in range(4):
+        (pdb_dir / f"s{i}.pdb").write_text(
+            sample_pdb_text(seed=i, n_res=10 + 2 * (i % 3))
+        )
+    stale = tmp_path / "tokens"
+    stale.mkdir()
+    (stale / "user_data.txt").write_text("precious")
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port), str(tmp_path), "stale"],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outputs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out
+    for pid in range(2):
+        with open(tmp_path / f"result_{pid}.json") as f:
+            r = json.load(f)
+        assert r["refused"], f"process {pid} did not refuse the stale dir"
+        assert r["dir_contents"] == ["user_data.txt"], r["dir_contents"]
+    assert (stale / "user_data.txt").read_text() == "precious"
