@@ -16,10 +16,12 @@ test:
 	python -m pytest tests/ -x -q
 
 # Fast tier (<3 min with the committed goldens + compile cache): skips
-# multi-process / end-to-end-CLI tests marked `slow`; two xdist workers,
-# whole files per worker so module-scoped golden fixtures load once.
+# multi-process / end-to-end-CLI tests marked `slow`; two xdist workers
+# (whole files per worker so module-scoped golden fixtures load once),
+# falling back to serial when pytest-xdist is absent.
+XDIST := $(shell python -c "import xdist" 2>/dev/null && echo "-n 2 --dist loadfile")
 test-fast:
-	python -m pytest tests/ -x -q -m "not slow" -n 2 --dist loadfile
+	python -m pytest tests/ -x -q -m "not slow" $(XDIST)
 
 # Container image; ACCELERATOR in {TPU, GPU, CPU} (reference Makefile:5,37-99)
 ACCELERATOR ?= TPU

@@ -88,12 +88,37 @@ STAGE_MIN_S = {
     "decode": float(os.environ.get("PST_BENCH_DECODE_MIN_S", "420")),
     "generate": float(os.environ.get("PST_BENCH_GENERATE_MIN_S", "360")),
 }
-# The released-size KV-cache generate scan takes >20 min of remote XLA
-# compile COLD on this backend (warm: seconds via the committed .jax_cache).
-# A marker dropped after the first successful compile tells later runs the
-# cache is warm; without it, generate needs a cold-sized budget.
+# The released-size KV-cache generate scan can take many minutes of remote
+# XLA compile COLD on this backend (warm: seconds via the committed
+# .jax_cache).  A marker dropped after the first successful compile tells
+# later runs the cache is warm; the marker is only trusted when it was
+# written under the SAME jax/jaxlib/backend (cache keys include those, so a
+# version bump means every committed entry misses and the compile is cold
+# again despite the marker).
 GENERATE_COLD_S = float(os.environ.get("PST_BENCH_GENERATE_COLD_S", "2400"))
 _GEN_WARM_MARKER = os.path.join(_CACHE_DIR or "/tmp", ".pst_generate_compiled")
+
+
+def _cache_fingerprint() -> str:
+    import jax
+    import jaxlib
+
+    return f"{jax.__version__}/{jaxlib.__version__}/{jax.default_backend()}"
+
+
+def _generate_cache_warm() -> bool:
+    if not _CACHE_DIR or not os.path.exists(_GEN_WARM_MARKER):
+        return False
+    try:
+        with open(_GEN_WARM_MARKER) as f:
+            return f.read().strip() == _cache_fingerprint()
+    except OSError:
+        return False
+
+
+def _mark_generate_warm() -> None:
+    with open(_GEN_WARM_MARKER, "w") as f:
+        f.write(_cache_fingerprint())
 _T0 = time.monotonic()
 
 # TPU v5e (v5 lite) peaks, for the absolute-terms roofline lines.
@@ -153,7 +178,6 @@ def bench_ours():
     import jax
 
     from protein_structure_tokenizer_tpu.data.featurize import make_graph_from_pdb
-    from protein_structure_tokenizer_tpu.data.sample import parse_pdb_file
     from protein_structure_tokenizer_tpu.models import vq3d
     from protein_structure_tokenizer_tpu.models.config import preset
     from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
@@ -169,13 +193,7 @@ def bench_ours():
     runner = InferenceRunner(cfg, params, mesh_lib.make_mesh())
     buckets = runner.length_buckets or (cfg.data.seq_max_size,)
 
-    paths = sorted(glob.glob(os.path.join(CASP14_DIR, "*.pdb")))
-    lengths = {}
-    for path in paths:
-        try:
-            lengths[path] = parse_pdb_file(path).nb_residues
-        except Exception:
-            continue
+    lengths = _corpus_lengths()
     kept = sorted(lengths, key=lambda q: lengths[q])
     rows = [kept[i % len(kept)] for i in range(BATCH)]
     rows.sort(key=lambda q: lengths[q])
@@ -223,8 +241,10 @@ def bench_ours():
 
     elapsed = best_window(block)
     residues_per_sec = total_valid * TIMED_ITERS / elapsed
-    tflops = total_flops * TIMED_ITERS / elapsed / 1e12
-    return residues_per_sec / n_chips, n_chips, tflops
+    # Per-chip, like the residues metric — the MFU line divides by ONE
+    # chip's peak, so the numerator must be one chip's FLOP rate.
+    tflops_per_chip = total_flops * TIMED_ITERS / elapsed / 1e12 / n_chips
+    return residues_per_sec / n_chips, n_chips, tflops_per_chip
 
 
 def load_baselines() -> dict:
@@ -304,7 +324,13 @@ def bench_decode(lengths):
 
 
 def _bench_decode_reference(row_lengths, params_seed: int = 0):
-    """Reference decode_and_make_structure via pmap at full 512 padding."""
+    """Reference decode_and_make_structure via pmap at full 512 padding.
+
+    Fairness: decodes the SAME full row-length distribution bench_decode
+    times on our side (DECODE_SUB-row batches covering every row, not just
+    the shortest ones), and uses the same best-of-TIMED_WINDOWS protocol —
+    both sides of the ratio see identical workloads and identical timing
+    discipline on this noisy backend."""
     try:
         from refmodel import import_reference, load_reference_config
 
@@ -330,28 +356,43 @@ def _bench_decode_reference(row_lengths, params_seed: int = 0):
         apply = jax.pmap(transformed.apply, devices=devices, axis_name="p")
 
         emb_dim = cfg.model.model.down_proj.emb_dim
-        q = rng.randn(1, sub, seq_max, emb_dim).astype(np.float32)
-        nm = np.zeros((1, sub, seq_max, 1), np.float32)
-        for i in range(sub):
-            nm[0, i, : row_lengths[i % len(row_lengths)]] = 1.0
-        tm = nm.copy()
         key = jax.random.PRNGKey(params_seed)
+        batches, valid = [], 0.0
+        for start_row in range(0, len(row_lengths), sub):
+            chunk = row_lengths[start_row : start_row + sub]
+            if len(chunk) < sub:
+                chunk = list(chunk) + list(row_lengths[: sub - len(chunk)])
+            q = rng.randn(1, sub, seq_max, emb_dim).astype(np.float32)
+            nm = np.zeros((1, sub, seq_max, 1), np.float32)
+            for i, n in enumerate(chunk):
+                nm[0, i, :n] = 1.0
+            batches.append((q, nm, nm.copy()))
+            valid += float(nm.sum())
         params = transformed.init(
-            key, jnp.asarray(q[0, :1]), jnp.asarray(nm[0, :1]), jnp.asarray(tm[0, :1])
+            key,
+            jnp.asarray(batches[0][0][0, :1]),
+            jnp.asarray(batches[0][1][0, :1]),
+            jnp.asarray(batches[0][2][0, :1]),
         )
         params = jax.device_put_replicated(params, devices)
         keys = jax.random.split(key, len(devices))
-        out = apply(params, keys, q, nm, tm)
+        out = apply(params, keys, *batches[0])
         np.asarray(out["final_atom_positions"])
-        valid = float(nm.sum())
-        start = time.perf_counter()
-        outs = [apply(params, keys, q, nm, tm) for _ in range(TIMED_ITERS)]
-        for o in outs:
-            np.asarray(o["final_atom_positions"])
-        elapsed = time.perf_counter() - start
+
+        def block():
+            start = time.perf_counter()
+            outs = [
+                apply(params, keys, q, nm, tm)
+                for _ in range(TIMED_ITERS)
+                for q, nm, tm in batches
+            ]
+            for o in outs:
+                np.asarray(o["final_atom_positions"])
+            return time.perf_counter() - start
+
         # The reference decodes ALL padded rows; per-second rate counted on
         # the same valid residues as ours for a like-for-like ratio.
-        return valid * TIMED_ITERS / elapsed
+        return valid * TIMED_ITERS / best_window(block)
     except Exception as e:
         print(f"# reference decode baseline unavailable: {type(e).__name__}: {e}", file=sys.stderr)
         return None
@@ -463,12 +504,16 @@ def _measure_generate_reference():
     t, keys = step(t, keys, 0)  # compile + warm
     np.asarray(t)
     steps = 8
-    start = time.perf_counter()
-    for i in range(1, steps + 1):
-        t, keys = step(t, keys, i)
-    np.asarray(t)
-    elapsed = time.perf_counter() - start
-    rate = batch * steps / elapsed / len(devices)
+
+    def block():
+        nonlocal t, keys
+        start = time.perf_counter()
+        for i in range(1, steps + 1):
+            t, keys = step(t, keys, i)
+        np.asarray(t)
+        return time.perf_counter() - start
+
+    rate = batch * steps / best_window(block) / len(devices)
     save_baseline("reference_generate_tokens_per_sec_per_chip", rate)
     return rate
 
@@ -500,19 +545,29 @@ def bench_reference(batch, valid_residues):
         transformed = hk.transform(fn)
         apply = jax.pmap(transformed.apply, devices=devices, axis_name="p")
 
-        graph = ProteinGraph(
-            n_node=np.asarray(batch.n_node)[None],
-            n_edge=np.asarray(batch.n_edge)[None],
-            nodes_mask=np.asarray(batch.nodes_mask)[None],
-            nodes_original_coordinates=np.asarray(batch.nodes_original_coordinates)[None],
-            node_features=np.asarray(batch.node_features)[None],
-            edge_features=np.asarray(batch.edge_features)[None],
-            tokens_mask=np.asarray(batch.tokens_mask)[None],
-            senders=np.asarray(batch.senders)[None],
-            receivers=np.asarray(batch.receivers)[None],
-        )
+        # SUB_BATCH-row pmap chunks, mirroring our dispatch geometry (and
+        # the reference's own operating point — its CLI default is 16 rows
+        # per device, tokenize_pdb.py); one B=256 pmap batch OOMs a 16 GB
+        # chip on the quantizer's (B, N, K) diagnostic tensors.
+        def chunk_graph(i):
+            sl = slice(i, i + SUB_BATCH)
+            return ProteinGraph(
+                n_node=np.asarray(batch.n_node)[sl][None],
+                n_edge=np.asarray(batch.n_edge)[sl][None],
+                nodes_mask=np.asarray(batch.nodes_mask)[sl][None],
+                nodes_original_coordinates=np.asarray(
+                    batch.nodes_original_coordinates
+                )[sl][None],
+                node_features=np.asarray(batch.node_features)[sl][None],
+                edge_features=np.asarray(batch.edge_features)[sl][None],
+                tokens_mask=np.asarray(batch.tokens_mask)[sl][None],
+                senders=np.asarray(batch.senders)[sl][None],
+                receivers=np.asarray(batch.receivers)[sl][None],
+            )
+
+        chunks = [chunk_graph(i) for i in range(0, BATCH, SUB_BATCH)]
         key = jax.random.PRNGKey(0)
-        single = jax.tree_util.tree_map(lambda x: jnp.asarray(x[:, :1]), graph)
+        single = jax.tree_util.tree_map(lambda x: jnp.asarray(x[:, :1]), chunks[0])
         pmean_orig = jax.lax.pmean
         jax.lax.pmean = lambda x, axis_name=None: x  # init traces outside pmap
         try:
@@ -522,14 +577,19 @@ def bench_reference(batch, valid_residues):
         params = jax.device_put_replicated(params, devices)
         keys = jax.random.split(key, len(devices))
 
-        out = apply(params, keys, graph)
+        out = apply(params, keys, chunks[0])
         np.asarray(out["tokens"])
-        start = time.perf_counter()
-        outs = [apply(params, keys, graph) for _ in range(TIMED_ITERS)]
-        for o in outs:
-            np.asarray(o["tokens"])
-        elapsed = time.perf_counter() - start
-        ref_rps = valid_residues * TIMED_ITERS / elapsed
+
+        def block():
+            start = time.perf_counter()
+            outs = [
+                apply(params, keys, g) for _ in range(TIMED_ITERS) for g in chunks
+            ]
+            for o in outs:
+                np.asarray(o["tokens"])
+            return time.perf_counter() - start
+
+        ref_rps = valid_residues * TIMED_ITERS / best_window(block)
         save_baseline("reference_residues_per_sec_per_chip", ref_rps)
         return ref_rps
     except Exception as e:  # reference may not run on this jax version/backend
@@ -653,7 +713,7 @@ def main():
     ref = load_baselines().get(BASELINE_KEYS[0])
     _emit("casp14_tokenize_residues_per_sec_per_chip", "residues/s/chip", ours, ref)
     if tflops:
-        _emit("casp14_tokenize_achieved_tflops_per_sec", "TFLOP/s", tflops, None)
+        _emit("casp14_tokenize_achieved_tflops_per_sec_per_chip", "TFLOP/s/chip", tflops, None)
         _emit(
             "casp14_tokenize_mfu_vs_bf16_peak", "%",
             100.0 * tflops * 1e12 / PEAK_BF16_FLOPS, None,
@@ -676,12 +736,11 @@ def main():
         _note(f"decode SKIPPED: {_remaining():.0f}s remaining < {STAGE_MIN_S['decode']:.0f}s")
     _emit_headline()
 
-    gen_min = STAGE_MIN_S["generate"] if os.path.exists(_GEN_WARM_MARKER) else GENERATE_COLD_S
+    gen_min = STAGE_MIN_S["generate"] if _generate_cache_warm() else GENERATE_COLD_S
     if _remaining() > gen_min:
         try:
             gen_ours, gen_ref = bench_generate()
-            with open(_GEN_WARM_MARKER, "w"):
-                pass
+            _mark_generate_warm()
             _emit("gpt_generate_tokens_per_sec_per_chip", "tokens/s/chip", gen_ours, gen_ref)
             _note(f"generate done: {gen_ours:.0f} tok/s/chip")
         except Exception as e:

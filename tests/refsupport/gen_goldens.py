@@ -53,7 +53,9 @@ def slim_diagnostics(arrays: dict) -> dict:
     dist = arrays.pop("enc::distances")
     prob = arrays.pop("enc::soft_proba")
     _, n_rows, n_codes = dist.shape
-    n_real = int(arrays["graph::nodes_mask"][0, :, 0].sum())
+    # The diagnostics' row axis is TOKENS (seq_max / df) — the boundary must
+    # come from tokens_mask, not nodes_mask (they differ for df > 1).
+    n_real = int(arrays["graph::tokens_mask"][0, :, 0].sum())
     rows, codes = _diag_subsample(n_rows, n_codes, n_real)
     arrays["enc::sub_rows"] = rows
     arrays["enc::sub_codes"] = codes

@@ -62,9 +62,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     variants = sys.argv[2:] or ["default", "pallas"]
     cfg = preset(4096, 1)
-    params = vq3d.init(jax.random.PRNGKey(0), cfg)
-    graph = synthetic_graph(batch, 512, 50, 1, 416)
-    params = jax.device_put(params)
+    params = jax.device_put(vq3d.init(jax.random.PRNGKey(0), cfg))
 
     kw = {
         "default": {},
