@@ -274,6 +274,18 @@ class InferenceRunner:
         cfg = config
 
         model_mesh = self.mesh  # cp constraints no-op without a "ctx" axis
+        # On a pure data mesh with >1 device, run tokenize/decode as
+        # shard_map over "data": each device executes the SINGLE-DEVICE
+        # model on its batch shard (rows are independent; tokenize/decode
+        # have no cross-row math), so the single-device-only Pallas fast
+        # paths stay active on real multi-chip data parallelism instead of
+        # falling back to the jnp schedules.  Meshes with a "ctx" axis keep
+        # the GSPMD path (the pair track genuinely shards across devices).
+        data_only_spmd = (
+            tuple(self.mesh.axis_names) == (mesh_lib.DATA_AXIS,)
+            and self.mesh.size > 1
+        )
+        inner_mesh = None if data_only_spmd else model_mesh
 
         def _tokenize_impl(params, graph):
             out = vq3d.encode_and_quantize(
@@ -282,14 +294,14 @@ class InferenceRunner:
                 graph,
                 compute_usage=False,
                 exact_aggregation=exact_aggregation,
-                mesh=model_mesh,
+                mesh=inner_mesh,
             )
             return {"tokens": out["tokens"]}
 
         def _decode_impl(params, quantized, nodes_mask, tokens_mask):
             out = vq3d.decode_and_make_structure(
                 params, cfg, quantized, nodes_mask, tokens_mask,
-                exact_ipa=exact_aggregation, mesh=model_mesh,
+                exact_ipa=exact_aggregation, mesh=inner_mesh,
             )
             # The decoder is backbone-only (dummy-ALA: atom37 slots 0-4, with
             # CB=3 masked to zero), so ship the packed (B, N, 5, 3) instead of
@@ -306,17 +318,36 @@ class InferenceRunner:
             _tokenize_impl = mixed_precision_policy(_tokenize_impl, compute_dtype)
             _decode_impl = mixed_precision_policy(_decode_impl, compute_dtype)
 
-        _tokenize = functools.partial(
-            jax.jit,
-            in_shardings=(replicated, batch_sharding),
-            out_shardings=batch_sharding,
-        )(_tokenize_impl)
+        if data_only_spmd:
+            from jax.sharding import PartitionSpec as _P
 
-        _decode = functools.partial(
-            jax.jit,
-            in_shardings=(replicated, batch_sharding, batch_sharding, batch_sharding),
-            out_shardings=batch_sharding,
-        )(_decode_impl)
+            batch_spec = _P(mesh_lib.DATA_AXIS)
+
+            def _shard_mapped(impl, n_batch_args):
+                return jax.jit(
+                    jax.shard_map(
+                        impl,
+                        mesh=self.mesh,
+                        in_specs=(_P(),) + (batch_spec,) * n_batch_args,
+                        out_specs=batch_spec,
+                        check_vma=False,
+                    )
+                )
+
+            _tokenize = _shard_mapped(_tokenize_impl, 1)
+            _decode = _shard_mapped(_decode_impl, 3)
+        else:
+            _tokenize = functools.partial(
+                jax.jit,
+                in_shardings=(replicated, batch_sharding),
+                out_shardings=batch_sharding,
+            )(_tokenize_impl)
+
+            _decode = functools.partial(
+                jax.jit,
+                in_shardings=(replicated, batch_sharding, batch_sharding, batch_sharding),
+                out_shardings=batch_sharding,
+            )(_decode_impl)
 
         @jax.jit
         def _indexes_to_codes(tokens):
