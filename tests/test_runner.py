@@ -248,3 +248,25 @@ def test_make_output_dir_fresh_creates_sentinel(tmp_path):
     assert (fresh / runner_mod._RUN_SENTINEL).exists()
     runner_mod._finish_output_dir(str(fresh))
     assert not (fresh / runner_mod._RUN_SENTINEL).exists()
+
+
+@pytest.mark.skipif(not CASP14, reason="CASP14 corpus not mounted")
+def test_decode_independent_of_mesh_topology():
+    """Decoded coordinates must not depend on how the batch is sharded: the
+    1-device jit path and the 8-device shard_map path (runner's pure-data
+    SPMD mode) produce identical backbones for the same token rows."""
+    cfg = preset(4096, 1)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    seqs = [rng.randint(0, cfg.fsq.num_codes, size=(n,)) for n in (40, 64, 25, 50,
+                                                                   33, 61, 47, 58)]
+
+    runner_1 = InferenceRunner(cfg, params, mesh_lib.make_mesh(jax.devices()[:1]))
+    runner_8 = InferenceRunner(cfg, params, mesh_lib.make_mesh())
+    ids = runner_1.pad_token_rows(seqs, effective_len=64)
+    _, out_1 = runner_1.dispatch_decode(ids)
+    _, out_8 = runner_8.dispatch_decode(ids)
+    np.testing.assert_array_equal(
+        np.asarray(out_1["backbone_positions"]),
+        np.asarray(out_8["backbone_positions"]),
+    )
