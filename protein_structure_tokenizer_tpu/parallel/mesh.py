@@ -82,6 +82,57 @@ def single_device(mesh: Optional[Mesh]) -> bool:
     return mesh is None or mesh.size == 1
 
 
+def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
+    """jax.shard_map with replication checking off, across the
+    check_rep/check_vma API rename (jax>=0.4.30 support range)."""
+    import inspect
+
+    kw = (
+        "check_vma"
+        if "check_vma" in inspect.signature(jax.shard_map).parameters
+        else "check_rep"
+    )
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **{kw: False}
+    )
+
+
+def data_shard_map(f, mesh: Mesh, n_batch_args: int):
+    """SPMD-over-"data" wrapper for row-independent model fns
+    ``f(params, *batch_args)``: params replicated, every batch arg (pytree)
+    row-sharded over the data axis.  shard_map requires the leading axis to
+    divide mesh.size, so non-divisible batches are edge-padded with copies
+    of their last row and the outputs sliced back — rows are independent, so
+    pad rows cannot perturb real ones."""
+    import jax.numpy as jnp
+
+    spec = P(DATA_AXIS)
+    mapped = jax.jit(
+        shard_map_compat(
+            f, mesh, in_specs=(P(),) + (spec,) * n_batch_args, out_specs=spec
+        )
+    )
+
+    def wrapped(params, *batch_args):
+        rows = jax.tree_util.tree_leaves(batch_args[0])[0].shape[0]
+        pad = (-rows) % mesh.size
+        if pad == 0:
+            return mapped(params, *batch_args)
+        padded = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])]
+            ),
+            batch_args,
+        )
+        out = mapped(params, *padded)
+        return jax.tree_util.tree_map(lambda x: x[:rows], out)
+
+    # Expose lower() for callers that pre-compile (bench.py); padding-free
+    # shapes only, matching how those callers construct batches.
+    wrapped.lower = mapped.lower
+    return wrapped
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding for batched arrays."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -60,10 +60,7 @@ def _shard_map(f, mesh, in_specs, out_specs):
     """jax.shard_map with replication checking off (the schedule branches on
     lax.axis_index, which defeats static replication inference) across the
     check_rep/check_vma API rename."""
-    kw = "check_vma" if "check_vma" in inspect.signature(jax.shard_map).parameters else "check_rep"
-    return jax.shard_map(
-        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **{kw: False}
-    )
+    return mesh_lib.shard_map_compat(f, mesh, in_specs, out_specs)
 
 
 # ---------------------------------------------------------------------------

@@ -319,23 +319,8 @@ class InferenceRunner:
             _decode_impl = mixed_precision_policy(_decode_impl, compute_dtype)
 
         if data_only_spmd:
-            from jax.sharding import PartitionSpec as _P
-
-            batch_spec = _P(mesh_lib.DATA_AXIS)
-
-            def _shard_mapped(impl, n_batch_args):
-                return jax.jit(
-                    jax.shard_map(
-                        impl,
-                        mesh=self.mesh,
-                        in_specs=(_P(),) + (batch_spec,) * n_batch_args,
-                        out_specs=batch_spec,
-                        check_vma=False,
-                    )
-                )
-
-            _tokenize = _shard_mapped(_tokenize_impl, 1)
-            _decode = _shard_mapped(_decode_impl, 3)
+            _tokenize = mesh_lib.data_shard_map(_tokenize_impl, self.mesh, 1)
+            _decode = mesh_lib.data_shard_map(_decode_impl, self.mesh, 3)
         else:
             _tokenize = functools.partial(
                 jax.jit,
@@ -360,7 +345,7 @@ class InferenceRunner:
                 compute_usage=False,
                 exact_aggregation=exact_aggregation,
                 exact_ipa=exact_aggregation,
-                mesh=model_mesh,
+                mesh=inner_mesh,
             )
             return {
                 "tokens": quant["tokens"],
@@ -375,11 +360,14 @@ class InferenceRunner:
 
             _autoencode_impl = mixed_precision_policy(_autoencode_impl, compute_dtype)
 
-        _autoencode = functools.partial(
-            jax.jit,
-            in_shardings=(replicated, batch_sharding),
-            out_shardings=batch_sharding,
-        )(_autoencode_impl)
+        if data_only_spmd:
+            _autoencode = mesh_lib.data_shard_map(_autoencode_impl, self.mesh, 1)
+        else:
+            _autoencode = functools.partial(
+                jax.jit,
+                in_shardings=(replicated, batch_sharding),
+                out_shardings=batch_sharding,
+            )(_autoencode_impl)
 
         self.tokenize_fn = _tokenize
         self.decode_fn = _decode
@@ -598,6 +586,14 @@ class InferenceRunner:
         the outputs with jax.device_get when needed."""
         cfg = self.config.data
         pad_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
+        rows = tokens_ids.shape[0]
+        # Mesh sharding needs a mesh.size-divisible leading axis; edge-pad
+        # with copies of the last row (rows are independent) and slice back.
+        extra = (-rows) % self.mesh.size
+        if extra:
+            tokens_ids = np.concatenate(
+                [tokens_ids, np.repeat(tokens_ids[-1:], extra, axis=0)]
+            )
         tokens_mask = build_tokens_mask_from_sequence(tokens_ids, pad_id)
         nodes_mask = build_nodes_mask_from_tokens_mask(
             tokens_mask, cfg.downsampling_ratio
@@ -613,7 +609,9 @@ class InferenceRunner:
                 self.mesh, jnp.asarray(tokens_mask[..., None], dtype=jnp.float32)
             ),
         )
-        return nodes_mask.sum(axis=-1), out
+        if extra:
+            out = jax.tree_util.tree_map(lambda x: x[:rows], out)
+        return nodes_mask[:rows].sum(axis=-1), out
 
     def decode_tokens(
         self,

@@ -250,7 +250,6 @@ def test_make_output_dir_fresh_creates_sentinel(tmp_path):
     assert not (fresh / runner_mod._RUN_SENTINEL).exists()
 
 
-@pytest.mark.skipif(not CASP14, reason="CASP14 corpus not mounted")
 def test_decode_independent_of_mesh_topology():
     """Decoded coordinates must not depend on how the batch is sharded: the
     1-device jit path and the 8-device shard_map path (runner's pure-data
@@ -269,4 +268,27 @@ def test_decode_independent_of_mesh_topology():
     np.testing.assert_array_equal(
         np.asarray(out_1["backbone_positions"]),
         np.asarray(out_8["backbone_positions"]),
+    )
+
+
+def test_shard_map_pads_non_divisible_batches():
+    """The SPMD shard_map path must accept batches whose row count does not
+    divide mesh.size (public dispatch_decode/decode_fn contract): rows are
+    edge-padded on dispatch, outputs sliced back, values identical to the
+    divisible-batch result."""
+    cfg = preset(4096, 1)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    seqs = [rng.randint(0, cfg.fsq.num_codes, size=(n,)) for n in (40, 25, 50)]
+
+    runner_8 = InferenceRunner(cfg, params, mesh_lib.make_mesh())  # 8 devices
+    ids3 = runner_8.pad_token_rows(seqs, effective_len=64)  # 3 rows: 8 % 3 != 0
+    _, out3 = runner_8.dispatch_decode(ids3)
+    assert np.asarray(out3["backbone_positions"]).shape[0] == 3
+
+    runner_1 = InferenceRunner(cfg, params, mesh_lib.make_mesh(jax.devices()[:1]))
+    _, ref = runner_1.dispatch_decode(ids3)
+    np.testing.assert_array_equal(
+        np.asarray(out3["backbone_positions"]),
+        np.asarray(ref["backbone_positions"]),
     )
