@@ -419,27 +419,28 @@ def bench_generate():
     key = jax.random.PRNGKey(1)
     n_chips = len(jax.devices())
 
-    def run(use_cache, iters):
-        # params MUST be a jit argument: closing over the ~124M-param tree
-        # embeds it as constants in the HLO, and this backend's remote-compile
-        # service drops the oversized program ("Broken pipe" after ~30 min).
-        fn = lambda p, k: sampling.generate(
-            p, cfg, k, batch, cfg.max_position_embeddings, use_cache=use_cache
+    # params MUST be a jit argument: closing over the ~124M-param tree
+    # embeds it as constants in the HLO, and this backend's remote-compile
+    # service drops the oversized program ("Broken pipe" after ~30 min).
+    jfn = jax.jit(
+        lambda p, k: sampling.generate(
+            p, cfg, k, batch, cfg.max_position_embeddings, use_cache=True
         )
-        jfn = jax.jit(fn)
-        np.asarray(jfn(params, key))  # compile + warm
-        _note("generate: compiled+warm")
+    )
+    np.asarray(jfn(params, key))  # compile + warm
+    _note("generate: compiled+warm")
 
-        def block():
-            start = time.perf_counter()
-            outs = [jfn(params, jax.random.PRNGKey(2 + i)) for i in range(iters)]
-            for o in outs:
-                np.asarray(o)
-            return time.perf_counter() - start
+    def block():
+        start = time.perf_counter()
+        outs = [
+            jfn(params, jax.random.PRNGKey(2 + i)) for i in range(TIMED_ITERS)
+        ]
+        for o in outs:
+            np.asarray(o)
+        return time.perf_counter() - start
 
-        return batch * cfg.max_position_embeddings * iters / best_window(block)
-
-    ours = run(True, TIMED_ITERS) / n_chips
+    tokens_emitted = batch * cfg.max_position_embeddings * TIMED_ITERS
+    ours = tokens_emitted / best_window(block) / n_chips
     ref = load_baselines().get("reference_generate_tokens_per_sec_per_chip")
     return ours, ref
 
