@@ -485,9 +485,9 @@ def _measure_generate_reference():
     gpt_fn = hk.transform(build_gpt_fn(cfg))
     devices = jax.devices()[:1]
     batch = 16
-    block = 514
+    block_len = 514
 
-    tokens = np.full((1, batch, block), 4096, dtype=np.int32)
+    tokens = np.full((1, batch, block_len), 4096, dtype=np.int32)
     key = jax.random.PRNGKey(0)
     params = gpt_fn.init(key, jnp.asarray(tokens[0]))
     params = jax.device_put_replicated(params, devices)

@@ -16,9 +16,12 @@ Feature parity with /root/reference/structure_tokenizer/model/gnn_layers.py
 from __future__ import annotations
 
 import dataclasses
+import logging
+
 import jax
 import jax.numpy as jnp
 
+from protein_structure_tokenizer_tpu.utils.log import warn_once
 from protein_structure_tokenizer_tpu.parallel import cp
 from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
 from protein_structure_tokenizer_tpu.models.layers import (
@@ -28,6 +31,8 @@ from protein_structure_tokenizer_tpu.models.layers import (
     norm_init,
 )
 from protein_structure_tokenizer_tpu.utils.params import Params, subtree, with_prefix
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -331,6 +336,19 @@ def graph_neural_network(
     # built whenever the kernels are actually off (a silent downstream
     # disable used to leave the runner's mesh path on raw dynamic gathers:
     # 103 ms vs 33 ms per B=64/N=512 batch).
+    if use_pallas and not mesh_lib.single_device(mesh):
+        # An earlier SILENT mesh-gate disable cost 3x on the runner path
+        # (round 3); an explicit use_pallas=True on a multi-device mesh must
+        # at least announce the fallback so benchmarks attribute correctly.
+        warn_once(
+            logger,
+            "gnn_pallas_mesh_gate",
+            "use_pallas requested but the mesh spans %d devices; Pallas "
+            "kernels need arrays whole on one device — falling back to the "
+            "jnp one-hot path (wrap with parallel.mesh.data_shard_map to "
+            "keep kernels active under data parallelism)",
+            mesh.size,
+        )
     use_pallas = (
         fast
         and config.layer_cls == "MPNNLayer"

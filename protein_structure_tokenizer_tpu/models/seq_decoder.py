@@ -9,9 +9,12 @@ and the outer product runs as a single einsum that XLA maps onto the MXU.
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import jax
 import jax.numpy as jnp
+
+from protein_structure_tokenizer_tpu.utils.log import warn_once
 
 from protein_structure_tokenizer_tpu.models.attention import (
     TransitionConfig,
@@ -31,6 +34,8 @@ from protein_structure_tokenizer_tpu.models.posenc import sinusoidal_features
 from protein_structure_tokenizer_tpu.parallel import cp
 from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
 from protein_structure_tokenizer_tpu.utils.params import Params, subtree, with_prefix
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -182,6 +187,16 @@ def sequence_decoder(
     # kernel entirely.
     if use_pallas is None:
         use_pallas = False
+    if use_pallas and not mesh_lib.single_device(mesh):
+        warn_once(
+            logger,
+            "pair_pallas_mesh_gate",
+            "use_pallas requested but the mesh spans %d devices; the fused "
+            "pair kernel needs arrays whole on one device — falling back to "
+            "the XLA pair path (wrap with parallel.mesh.data_shard_map to "
+            "keep kernels active under data parallelism)",
+            mesh.size,
+        )
     if (
         use_pallas
         and not exact

@@ -127,9 +127,21 @@ def data_shard_map(f, mesh: Mesh, n_batch_args: int):
         out = mapped(params, *padded)
         return jax.tree_util.tree_map(lambda x: x[:rows], out)
 
-    # Expose lower() for callers that pre-compile (bench.py); padding-free
-    # shapes only, matching how those callers construct batches.
-    wrapped.lower = mapped.lower
+    # Expose lower() for callers that pre-compile (bench.py).  lower/compile
+    # bypasses the pad-and-slice wrapper above, so refuse non-divisible
+    # batches loudly instead of surfacing an opaque shard_map error.
+    def lower(params, *batch_args):
+        rows = jax.tree_util.tree_leaves(batch_args[0])[0].shape[0]
+        if rows % mesh.size:
+            raise ValueError(
+                f"data_shard_map.lower: batch rows ({rows}) must divide the "
+                f"mesh size ({mesh.size}) — pre-compiled executables bypass "
+                "the edge-padding contract; pad the batch or call the "
+                "wrapper directly"
+            )
+        return mapped.lower(params, *batch_args)
+
+    wrapped.lower = lower
     return wrapped
 
 

@@ -126,18 +126,45 @@ _P0_WAIT_S = 2.0
 _PEER_WAIT_S = 10.0
 
 
+_run_id_cache: list = []
+
+
+def _run_identity() -> str:
+    """A value every process of THIS run shares but no other run does:
+    process 0 draws random bytes and broadcasts them (single-process runs
+    skip the collective).  Lets sentinel adjudication distinguish "racing
+    peer of my run" from "live sentinel left by a DIFFERENT overlapping run
+    pointed at the same directory".  Memoized per process: every output dir
+    a run creates carries the same id, and a same-process rerun after a
+    crash re-presents the crashed run's id (so it may reclaim the dir, as
+    before run ids existed)."""
+    if not _run_id_cache:
+        if jax.process_count() == 1:
+            _run_id_cache.append(os.urandom(8).hex())
+        else:
+            from jax.experimental import multihost_utils
+
+            seed = np.frombuffer(os.urandom(8), dtype=np.int64)
+            shared = multihost_utils.broadcast_one_to_all(seed)
+            _run_id_cache.append(np.asarray(shared).tobytes().hex())
+    return _run_id_cache[0]
+
+
 def _make_output_dir(path: str) -> None:
     """Reference semantics — refuse a PRE-EXISTING output dir
     (inference_runner.py:265) — made multi-host safe.
 
     Only the process whose ``makedirs`` WINS may write into the dir (it drops
-    a sentinel immediately).  Every other process — process 0 included —
-    waits for that sentinel before touching anything: a sentinel appearing
-    proves a racing peer of this run created the dir; a timeout means the dir
-    pre-existed (stale user data) and EVERY process refuses it, so no peer
-    ever pollutes a directory that is about to be adjudicated stale.  Peers
-    wait longer than process 0 so a refusal is never racy against process 0's
-    own verdict."""
+    a sentinel carrying the run id immediately).  Every other process —
+    process 0 included — waits for that sentinel before touching anything: a
+    sentinel carrying THIS run's id proves a racing peer of this run created
+    the dir; a foreign id means another live run owns the dir (refuse — do
+    not interleave two runs' outputs); a timeout means the dir pre-existed
+    (stale user data) and EVERY process refuses it, so no peer ever pollutes
+    a directory that is about to be adjudicated stale.  Peers wait longer
+    than process 0 so a refusal is never racy against process 0's own
+    verdict."""
+    run_id = _run_identity()  # collective: before the makedirs race
     sentinel = os.path.join(path, _RUN_SENTINEL)
     try:
         os.makedirs(path)
@@ -150,9 +177,19 @@ def _make_output_dir(path: str) -> None:
                     f"output dir already exists: {path}"
                 ) from None
             time.sleep(0.05)
+        try:
+            with open(sentinel) as f:
+                owner = f.read().strip()
+        except OSError:
+            owner = ""
+        if owner != run_id:
+            raise FileExistsError(
+                f"output dir {path} is owned by a different live run "
+                f"(sentinel id {owner[:8]!r}); refusing to interleave outputs"
+            ) from None
         return  # a racing peer of this run owns the dir
-    with open(sentinel, "w"):
-        pass
+    with open(sentinel, "w") as f:
+        f.write(run_id)
 
 
 def _finish_output_dir(path: Optional[str]) -> None:

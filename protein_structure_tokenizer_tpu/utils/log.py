@@ -59,6 +59,19 @@ def setup_logging(level: str | None = None) -> None:
             handler.addFilter(_host_filter)
 
 
+_warned_once: set = set()
+
+
+def warn_once(logger: logging.Logger, key: str, msg: str, *args) -> None:
+    """Emit a WARNING only the first time ``key`` is seen in this process —
+    for per-call-site conditions (e.g. a requested fast path being disabled)
+    that would otherwise spam once per jit trace."""
+    if key in _warned_once:
+        return
+    _warned_once.add(key)
+    logger.warning(msg, *args, stacklevel=2)
+
+
 def debug_log_tensor(name: str, tensor, logger: logging.Logger) -> None:
     """Log a tensor's name/shape/dtype at DEBUG level (shape metadata only —
     never the values, so it is safe inside jit tracing)."""

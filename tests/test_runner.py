@@ -226,18 +226,34 @@ def test_make_output_dir_peer_refuses_stale_without_polluting(tmp_path, monkeypa
 
 
 def test_make_output_dir_peer_joins_racing_creator(tmp_path, monkeypatch):
-    """A dir whose creator already dropped the run sentinel is a racing peer
-    of THIS run: every other process joins it without error."""
+    """A dir whose creator already dropped THIS run's sentinel is a racing
+    peer: every other process joins it without error."""
     from protein_structure_tokenizer_tpu.runtime import runner as runner_mod
 
     won = tmp_path / "out"
     won.mkdir()
-    (won / runner_mod._RUN_SENTINEL).write_text("")
+    (won / runner_mod._RUN_SENTINEL).write_text(runner_mod._run_identity())
     monkeypatch.setattr(runner_mod.jax, "process_index", lambda: 1)
     runner_mod._make_output_dir(str(won))  # must not raise
     # process 0 also joins (its shorter wait still sees the sentinel)
     monkeypatch.setattr(runner_mod.jax, "process_index", lambda: 0)
     runner_mod._make_output_dir(str(won))
+
+
+def test_make_output_dir_refuses_foreign_run_sentinel(tmp_path, monkeypatch):
+    """A live sentinel carrying a DIFFERENT run's id means two overlapping
+    runs point at the same dir: refuse rather than interleave outputs (the
+    pre-run-id protocol silently joined any live sentinel)."""
+    from protein_structure_tokenizer_tpu.runtime import runner as runner_mod
+
+    other = tmp_path / "out"
+    other.mkdir()
+    (other / runner_mod._RUN_SENTINEL).write_text("feedfacecafebeef")
+    monkeypatch.setattr(runner_mod.jax, "process_index", lambda: 1)
+    with pytest.raises(FileExistsError, match="different live run"):
+        runner_mod._make_output_dir(str(other))
+    # the foreign run's dir is untouched
+    assert (other / runner_mod._RUN_SENTINEL).read_text() == "feedfacecafebeef"
 
 
 def test_make_output_dir_fresh_creates_sentinel(tmp_path):
@@ -292,3 +308,19 @@ def test_shard_map_pads_non_divisible_batches():
         np.asarray(out3["backbone_positions"]),
         np.asarray(ref["backbone_positions"]),
     )
+
+
+def test_shard_map_lower_rejects_non_divisible_batches():
+    """lower() bypasses the edge-padding wrapper, so it must refuse a
+    non-divisible batch with a clear message instead of surfacing an opaque
+    shard_map error (and never silently drop the padding contract)."""
+    import jax.numpy as jnp
+    import pytest
+
+    mesh = mesh_lib.make_mesh()  # 8 virtual devices
+    fn = mesh_lib.data_shard_map(lambda p, x: {"y": x * p["s"]}, mesh, 1)
+    params = {"s": jnp.float32(2.0)}
+    with pytest.raises(ValueError, match="edge-padding contract"):
+        fn.lower(params, jnp.ones((3, 4)))
+    # divisible batches still lower fine
+    fn.lower(params, jnp.ones((8, 4)))
