@@ -130,7 +130,11 @@ def invariant_point_attention(
         attn_qk_point = -0.5 * jnp.sum(
             head_point_weights[None, :, None, None, None] * dist2, axis=-1
         )
-        attn_qk_scalar = jnp.einsum("bhqc,bhkc->bhqk", q, k, preferred_element_type=f32)
+        # matmul(q, k^T), NOT einsum("bhqc,bhkc->bhqk"): the two lower to
+        # dots with different contracting layouts whose f32 accumulation
+        # groups differently (~4e-6) — the matmul form is bit-identical to
+        # folding.py:219 (verified batched == unbatched on one device).
+        attn_qk_scalar = jnp.matmul(q, jnp.swapaxes(k, -2, -1))
         attn_logits = attn_qk_scalar + attn_qk_point
     else:
         # |q-k|^2 summed over points = |q|^2 + |k|^2 - 2 q.k.  Folding the
@@ -228,13 +232,13 @@ def invariant_point_attention(
 
     return _ipa_output(
         p, cfg, result_scalar, result_point_global, result_attention_over_2d,
-        affine, batch, num_res, h, sv, pv, in_dtype,
+        affine, batch, num_res, h, sv, pv, in_dtype, exact=exact,
     )
 
 
 def _ipa_output(
     p, cfg, result_scalar, result_point_global, result_attention_over_2d,
-    affine, batch, num_res, h, sv, pv, in_dtype,
+    affine, batch, num_res, h, sv, pv, in_dtype, exact=False,
 ):
     """Shared IPA tail: local-frame transform, point norms, concat, output
     projection.  ``result_scalar`` (B, h, N, sv); ``result_point_global``
@@ -250,9 +254,19 @@ def _ipa_output(
     rot = affine.rot.astype(f32)[..., :, :, None]
     result_point_local = jnp.sum(rot * centered[..., :, None, :], axis=-3)  # (B,N,3,h*pv)
 
-    point_norm = jnp.sqrt(
-        cfg.dist_epsilon + jnp.sum(jnp.square(result_point_local), axis=-2)
-    )  # (B, N, h*pv)
+    if exact:
+        # Reference add order (folding.py:264-269): ((eps + x^2) + y^2) + z^2
+        # — an axis-sum groups as eps + ((x^2 + y^2) + z^2), ~1 ulp apart.
+        point_norm = jnp.sqrt(
+            cfg.dist_epsilon
+            + jnp.square(result_point_local[..., 0, :])
+            + jnp.square(result_point_local[..., 1, :])
+            + jnp.square(result_point_local[..., 2, :])
+        )
+    else:
+        point_norm = jnp.sqrt(
+            cfg.dist_epsilon + jnp.sum(jnp.square(result_point_local), axis=-2)
+        )  # (B, N, h*pv)
 
     final_act = jnp.concatenate(
         [

@@ -2,11 +2,12 @@
 
 The reference's FoldIteration (IPA + transitions + backbone update +
 sidechain) is run inside one haiku transform as an unrolled loop and compared
-per iteration against ours given the same parameters.  On a single XLA CPU
-device the two are bit-identical; with the test session's 8 virtual devices
-the per-op thread partitioning introduces ~1e-6 reduction-order noise that
-the (random-weight) iterative refinement amplifies, so tolerances widen with
-iteration depth.
+per iteration against ours given the same parameters.  In ``exact=True``
+mode the loop is asserted BIT-IDENTICAL (``assert_array_equal``) through all
+8 iterations — every formula follows the reference's operation order,
+including the matmul-form scalar logits (vs an einsum whose dot layout
+groups f32 accumulation differently) and the explicit x/y/z add order of the
+point norms.
 """
 import numpy as np
 import pytest
@@ -125,7 +126,6 @@ def test_fold_loop_bitwise():
     affine = QuatRigid.identity((1, n))
     activations = {"act": act, "affine": affine.to_tensor()}
     fold_params = subtree(params, "fold_iteration")
-    atols = [1e-5, 1e-4, 1e-3, 1e-2, 5e-2, 5e-2, 5e-2, 5e-2]
     for layer in range(8):
         activations, out = fold_iteration(
             fold_params,
@@ -134,17 +134,18 @@ def test_fold_loop_bitwise():
             jnp.asarray(mask)[None],
             initial_act,
             act2d,
-            exact=True,  # reference-order IPA formulas for the bitwise claim
+            exact=True,  # reference-order IPA formulas: genuinely bitwise
         )
-        np.testing.assert_allclose(
+        # BIT-EXACT through every iteration: round 4 closed the last two
+        # op-order gaps (matmul-form scalar logits, folding.py:219; explicit
+        # add-order point norms, folding.py:264-269).
+        np.testing.assert_array_equal(
             np.asarray(activations["act"])[0],
             np.asarray(ref_acts[layer]),
-            atol=atols[layer],
             err_msg=f"act mismatch at iteration {layer}",
         )
-        np.testing.assert_allclose(
+        np.testing.assert_array_equal(
             np.asarray(out["affine"])[0],
             np.asarray(ref_outs[layer]),
-            atol=atols[layer],
             err_msg=f"affine mismatch at iteration {layer}",
         )
