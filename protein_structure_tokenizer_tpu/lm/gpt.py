@@ -143,9 +143,12 @@ def apply_rope(x: jax.Array, sincos: Tuple[jax.Array, jax.Array]) -> jax.Array:
 
 
 def _norm(p: Params, cfg: GptConfig, name: str, x: jax.Array) -> jax.Array:
+    # f32 island: normalization statistics are computed in f32 even when the
+    # residual stream runs bf16 (no-op upcast on the all-f32 path).
+    xf = x.astype(jnp.float32)
     if cfg.norm_type == "layer_norm":
-        return layer_norm(p[f"{name}_layer_norm"], x)
-    return rms_norm(p[f"{name}_RMS_norm"], x)
+        return layer_norm(p[f"{name}_layer_norm"], xf).astype(x.dtype)
+    return rms_norm(p[f"{name}_RMS_norm"], xf).astype(x.dtype)
 
 
 def attention(
@@ -167,9 +170,20 @@ def attention(
     # makes GSPMD insert the block's one psum.
     head_spec = P(tp.DATA_AXIS, None, tp.MODEL_AXIS, None)
 
-    keys = linear(p["key_linear"], x).reshape(batch, t, h, k_size)
-    queries = linear(p["query_linear"], x).reshape(batch, t, h, k_size)
-    values = linear(p["value_linear"], x).reshape(batch, t, h, k_size)
+    if "qkv_linear" in p:
+        # Fused projection (fuse_qkv_params): one (C, 3C) matmul instead of
+        # three — fewer per-step ops on the KV-cached decode path, where op
+        # count (not FLOPs) bounds small-batch sampling.
+        qkv = linear(p["qkv_linear"], x).reshape(batch, t, 3, h, k_size)
+        queries, keys, values = (
+            qkv[:, :, 0],
+            qkv[:, :, 1],
+            qkv[:, :, 2],
+        )
+    else:
+        keys = linear(p["key_linear"], x).reshape(batch, t, h, k_size)
+        queries = linear(p["query_linear"], x).reshape(batch, t, h, k_size)
+        values = linear(p["value_linear"], x).reshape(batch, t, h, k_size)
     keys = tp.constrain(keys, mesh, head_spec)
     queries = tp.constrain(queries, mesh, head_spec)
     values = tp.constrain(values, mesh, head_spec)
@@ -177,7 +191,11 @@ def attention(
     positions = jnp.arange(t)[None]
     if cache_index is not None:
         positions = positions + cache_index
-    table = jnp.asarray(rope_sincos_table(cfg.max_position_embeddings, rot))
+    # The table is cast to the compute dtype (bf16 under the half-precision
+    # generate path) so RoPE does not silently promote keys/queries to f32.
+    table = jnp.asarray(
+        rope_sincos_table(cfg.max_position_embeddings, rot), dtype=keys.dtype
+    )
     sincos = jnp.take(table, positions, axis=0)  # (B|1, T, rot)
     sincos = jnp.broadcast_to(sincos, (batch, t, rot))
     sin, cos = jnp.split(sincos, 2, axis=-1)
@@ -193,10 +211,17 @@ def attention(
         values = _cache_update(kv_cache["v"], values, cache_index)
         kv_cache = {"k": keys, "v": values}
 
-    logits = jnp.einsum("...thd,...Thd->...htT", queries, keys)
-    logits = logits / jnp.sqrt(keys.shape[-1]).astype(queries.dtype)
+    # f32 softmax island: QK products accumulate in f32 regardless of the
+    # compute dtype, the softmax normalizes in f32, and only the probability
+    # weights are cast back for the values contraction.  Bit-identical on
+    # the all-f32 path (preferred_element_type=f32 is the default there).
+    logits = jnp.einsum(
+        "...thd,...Thd->...htT", queries, keys,
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits / jnp.sqrt(jnp.float32(keys.shape[-1]))
     logits = jnp.where(attention_mask, logits, -1e30)
-    weights = jax.nn.softmax(logits, axis=-1)
+    weights = jax.nn.softmax(logits, axis=-1).astype(values.dtype)
     out = jnp.einsum("...htT,...Thd->...thd", weights, values)
     out = out.reshape(batch, t, -1)
     return linear(p["out_linear"], out), kv_cache
@@ -296,6 +321,26 @@ def build_causal_mask(batch: int, seq_len: int) -> jax.Array:
     return jnp.tril(jnp.ones((1, 1, seq_len, seq_len), bool))
 
 
+def _final_norm_and_logits(
+    p: Params, cfg: GptConfig, x: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Final norm + LM head with an f32 logits island: the head matmul runs
+    in the compute dtype on the MXU but ACCUMULATES f32, so samplers always
+    see f32 logits (bit-identical on the all-f32 path).  Returns
+    (embeddings in compute dtype, logits f32)."""
+    xf = x.astype(jnp.float32)
+    if cfg.norm_type == "layer_norm":
+        xf = layer_norm(p["~/final_layer_norm"], xf)
+    else:
+        xf = rms_norm(p["~/final_RMS_norm"], xf)
+    head = p["~/simple_lm_head/~/lm_final_fc"]
+    normed = xf.astype(x.dtype)
+    logits = jnp.matmul(normed, head["w"], preferred_element_type=jnp.float32)
+    if "b" in head:
+        logits = logits + head["b"].astype(jnp.float32)
+    return normed, logits
+
+
 def forward(
     params: Params,
     cfg: GptConfig,
@@ -334,11 +379,7 @@ def forward(
             moe_aux[k] = moe_aux.get(k, 0.0) + v
         if sp:
             x = tp.constrain(x, mesh, tp.SP_SPEC)
-    if cfg.norm_type == "layer_norm":
-        x = layer_norm(p["~/final_layer_norm"], x)
-    else:
-        x = rms_norm(p["~/final_RMS_norm"], x)
-    logits = linear(p["~/simple_lm_head/~/lm_final_fc"], x)
+    x, logits = _final_norm_and_logits(p, cfg, x)
     out = {"embeddings": x, "logits": logits}
     if moe_aux:
         # Mean over the MoE layers so loss weights are depth-independent.
@@ -353,12 +394,20 @@ def forward(
 
 
 def init_kv_cache(
-    cfg: GptConfig, batch: int, max_len: int, *, mesh: Optional[Mesh] = None
+    cfg: GptConfig,
+    batch: int,
+    max_len: int,
+    *,
+    mesh: Optional[Mesh] = None,
+    dtype=jnp.float32,
 ) -> list:
+    """``dtype`` should match the parameter dtype: the cache READ is the
+    dominant HBM traffic of a KV-cached step (2 x layers x B x T x C bytes
+    vs one read of the params), so a bf16 cache halves the step's bound."""
     shape = (batch, max_len, cfg.num_heads, cfg.key_size)
 
     def zeros():
-        z = jnp.zeros(shape, jnp.float32)
+        z = jnp.zeros(shape, dtype)
         # Under tensor parallelism the cache shards with the head axis (same
         # layout the attention constraint pins for fresh keys/values).
         return tp.constrain(z, mesh, P(tp.DATA_AXIS, None, tp.MODEL_AXIS, None))
@@ -400,12 +449,37 @@ def forward_step(
             pad_mask=pad_mask,
         )
         new_cache.append(layer_cache)
-    if cfg.norm_type == "layer_norm":
-        x = layer_norm(p["~/final_layer_norm"], x)
-    else:
-        x = rms_norm(p["~/final_RMS_norm"], x)
-    logits = linear(p["~/simple_lm_head/~/lm_final_fc"], x)
+    _, logits = _final_norm_and_logits(p, cfg, x)
     return logits[:, -1], new_cache
+
+
+def fuse_qkv_params(params: Params, cfg: GptConfig) -> Params:
+    """Concatenate each layer's query/key/value projection weights into one
+    ``qkv_linear`` leaf of shape (C, 3*C), column blocks [q | k | v]
+    (matching attention's (3, H, D) reshape of the fused output).
+
+    An inference-time layout transform for the sampling path: one matmul per
+    layer instead of three.  Logits are algebraically identical (each output
+    column accumulates the same products).  Not compatible with
+    ``tp.shard_gpt_params`` (which shards the separate leaves); fuse only
+    for single-chip/data-parallel generation.
+    """
+    del cfg  # layout is block-concat; no head interleaving needed
+    out: Params = {}
+    for scope, leaves in params.items():
+        if scope.endswith("/self_attn/~/query_linear"):
+            base = scope[: -len("query_linear")]
+            wq = params[base + "query_linear"]["w"]
+            wk = params[base + "key_linear"]["w"]
+            wv = params[base + "value_linear"]["w"]
+            out[base + "qkv_linear"] = {
+                "w": jnp.concatenate([wq, wk, wv], axis=1)
+            }
+        elif scope.endswith(("/self_attn/~/key_linear", "/self_attn/~/value_linear")):
+            continue
+        else:
+            out[scope] = leaves
+    return out
 
 
 # ---------------------------------------------------------------------------

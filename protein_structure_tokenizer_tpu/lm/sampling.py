@@ -79,6 +79,7 @@ def generate(
     method: str = "temperature",
     use_cache: bool = True,
     stop_at_eos: bool = False,
+    cache_segment: Optional[int] = None,
     mesh=None,
     **sampling_kwargs,
 ) -> jax.Array:
@@ -98,6 +99,18 @@ def generate(
     ``mesh`` with a "model" axis runs the forward tensor-parallel
     (parallel/tp.py); ``params`` must then be placed with
     ``tp.shard_gpt_params``.
+
+    ``cache_segment=S`` grows the KV cache in S-step segments instead of
+    allocating ``num_tokens`` up front: step t's attention reads a cache of
+    ceil((t+1)/S)*S positions rather than always ``num_tokens``.  The cache
+    read is the dominant HBM traffic of a cached step, and early steps are
+    the majority of a block, so segmenting cuts average cache traffic ~40%
+    at S=num_tokens/4 (one extra XLA scan body per segment; a pad-concat at
+    each boundary).  Masked math is unchanged — only the number of fully-
+    masked padded positions in each reduction differs, so sampled tokens
+    are identical up to reduction-order rounding (pinned in
+    tests/test_gpt.py).  Requires ``use_cache``; ignored with
+    ``stop_at_eos`` (the while-loop needs one body).
     """
     num_tokens = num_tokens or cfg.max_position_embeddings
     sampler = _sampler(method, **sampling_kwargs)
@@ -119,7 +132,14 @@ def generate(
         (tokens, _), _ = jax.lax.scan(step, (tokens, key), jnp.arange(num_tokens))
         return tokens
 
-    cache = gpt.init_kv_cache(cfg, batch_size, num_tokens, mesh=mesh)
+    # Cache dtype follows the parameter dtype: bf16 params (the fast
+    # generate path — see runtime.precision.cast_floats) get a bf16 cache,
+    # halving the per-step HBM bound; samplers still see f32 logits.
+    param_dtype = next(
+        leaf.dtype
+        for leaf in jax.tree_util.tree_leaves(params)
+        if jnp.issubdtype(leaf.dtype, jnp.floating)
+    )
 
     def step(carry, t):
         tokens, cache, key = carry
@@ -129,6 +149,32 @@ def generate(
         new_token = sampler(sub, logits)
         tokens = _write_at(tokens, t + 1, new_token.astype(jnp.int32))
         return (tokens, cache, key), None
+
+    if cache_segment and not stop_at_eos:
+        seg = int(cache_segment)
+        cache = gpt.init_kv_cache(
+            cfg, batch_size, min(seg, num_tokens), mesh=mesh, dtype=param_dtype
+        )
+        carry = (tokens, cache, key)
+        for start in range(0, num_tokens, seg):
+            end = min(start + seg, num_tokens)
+            if start:  # grow the cache to cover this segment's positions
+                tokens, cache, key = carry
+                pad = end - cache[0]["k"].shape[1]
+                cache = [
+                    {
+                        name: jnp.pad(buf, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                        for name, buf in layer.items()
+                    }
+                    for layer in cache
+                ]
+                carry = (tokens, cache, key)
+            carry, _ = jax.lax.scan(step, carry, jnp.arange(start, end))
+        return carry[0]
+
+    cache = gpt.init_kv_cache(
+        cfg, batch_size, num_tokens, mesh=mesh, dtype=param_dtype
+    )
 
     if stop_at_eos:
         def cond(carry):

@@ -147,6 +147,95 @@ def test_generation_matches_reference_sampler():
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref_tokens))
 
 
+def test_fused_qkv_matches_separate():
+    """fuse_qkv_params folds q/k/v projections into one matmul; logits are
+    the same contraction per output column, so forward outputs match to
+    accumulation-order rounding and generation still emits valid tokens."""
+    params = gpt.init(jax.random.PRNGKey(6), SMALL)
+    fused = gpt.fuse_qkv_params(params, SMALL)
+    assert not any("query_linear" in s for s in fused)
+    rng = np.random.RandomState(5)
+    seq = jnp.asarray(rng.randint(0, SMALL.vocab_size, size=(2, 9)), jnp.int32)
+    a = gpt.forward(params, SMALL, seq)["logits"]
+    b = gpt.forward(fused, SMALL, seq)["logits"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    toks = sampling.generate(
+        fused, SMALL, jax.random.PRNGKey(1), batch_size=2, num_tokens=8,
+        cache_segment=4,
+    )
+    assert ((np.asarray(toks) >= 0) & (np.asarray(toks) < SMALL.vocab_size)).all()
+
+
+def test_segmented_cache_matches_full_cache():
+    """cache_segment grows the KV cache in chunks; sampled tokens must match
+    the full-cache engine (identical masked math — only the count of fully-
+    masked padded positions per reduction differs)."""
+    params = gpt.init(jax.random.PRNGKey(2), SMALL)
+    key = jax.random.PRNGKey(9)
+    full = sampling.generate(
+        params, SMALL, key, batch_size=3, num_tokens=16,
+        method="temperature", temperature=0.7,
+    )
+    for seg in (4, 5, 16, 64):
+        seg_out = sampling.generate(
+            params, SMALL, key, batch_size=3, num_tokens=16,
+            method="temperature", temperature=0.7, cache_segment=seg,
+        )
+        np.testing.assert_array_equal(np.asarray(seg_out), np.asarray(full))
+
+
+def test_bf16_generation_distribution_equivalence():
+    """The fast generate path (bf16 params + bf16 KV cache, f32
+    softmax/LN/logits islands) must sample from (numerically) the same
+    distribution as f32: samplers see f32 logits whose per-position softmax
+    stays within a small KL of the f32 model's, and the cached step logits
+    track the full bf16 forward."""
+    from protein_structure_tokenizer_tpu.runtime.precision import cast_floats
+
+    params = gpt.init(jax.random.PRNGKey(4), SMALL)
+    params16 = cast_floats(params, jnp.bfloat16)
+    rng = np.random.RandomState(3)
+    seq = jnp.asarray(rng.randint(0, SMALL.vocab_size, size=(2, 10)), jnp.int32)
+
+    l32 = np.asarray(gpt.forward(params, SMALL, seq)["logits"], np.float64)
+    out16 = gpt.forward(params16, SMALL, seq)["logits"]
+    assert out16.dtype == jnp.float32  # the lm-head island always emits f32
+    l16 = np.asarray(out16, np.float64)
+
+    def log_softmax(z):
+        z = z - z.max(axis=-1, keepdims=True)
+        return z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+
+    lp, lq = log_softmax(l32), log_softmax(l16)
+    kl = (np.exp(lp) * (lp - lq)).sum(axis=-1)
+    assert kl.max() < 5e-3, f"bf16 sampling distribution drifted: KL={kl.max()}"
+
+    # KV-cached bf16 steps match the full bf16 forward (bf16 cache engaged).
+    cache = gpt.init_kv_cache(SMALL, 2, 10, dtype=jnp.bfloat16)
+    assert cache[0]["k"].dtype == jnp.bfloat16
+    step_logits = []
+    for t in range(10):
+        logits, cache = gpt.forward_step(
+            params16, SMALL, seq[:, t : t + 1], cache, jnp.asarray(t)
+        )
+        step_logits.append(np.asarray(logits))
+    np.testing.assert_allclose(
+        np.stack(step_logits, axis=1), l16.astype(np.float32),
+        atol=5e-2, rtol=0,
+    )
+
+    # End-to-end generation with bf16 params emits only valid token ids.
+    toks = np.asarray(
+        sampling.generate(
+            params16, SMALL, jax.random.PRNGKey(5), batch_size=2,
+            num_tokens=12, method="temperature", temperature=0.8,
+        )
+    )
+    assert toks.shape == (2, 12)
+    assert ((toks >= 0) & (toks < SMALL.vocab_size)).all()
+
+
 def test_strip_special_tokens():
     seq = np.array([32, 5, 7, 33, 9, 33])
     out = sampling.strip_special_tokens(seq, 32, 33)
