@@ -9,12 +9,10 @@ and the outer product runs as a single einsum that XLA maps onto the MXU.
 from __future__ import annotations
 
 import dataclasses
-import logging
 
 import jax
 import jax.numpy as jnp
 
-from protein_structure_tokenizer_tpu.utils.log import warn_once
 
 from protein_structure_tokenizer_tpu.models.attention import (
     TransitionConfig,
@@ -35,7 +33,6 @@ from protein_structure_tokenizer_tpu.parallel import cp
 from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
 from protein_structure_tokenizer_tpu.utils.params import Params, subtree, with_prefix
 
-logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,61 +95,6 @@ def pairwise_representation_init(key, cfg: PairRepConfig, in_dim: int) -> Params
     }
 
 
-def _fused_pair_path(
-    params: Params, cfg: SeqDecoderConfig, single_emb: jax.Array, nodes_mask: jax.Array,
-    *, bf16_operands: bool = True,
-) -> jax.Array:
-    """Pair track via the fused Pallas kernel (ops/pair_kernels.py): the only
-    HBM traffic is the projection tracks in and the final pair tensor out."""
-    from protein_structure_tokenizer_tpu.ops.pair_kernels import (
-        fused_pair_representation,
-    )
-
-    pr = subtree(params, "pairwise_representation")
-    x = layer_norm(pr["layer_norm_input"], single_emb)
-    left = nodes_mask * af2_linear(pr["left_projection"], x)
-    right = nodes_mask * af2_linear(pr["right_projection"], x)
-
-    d = cfg.positional_encoding_dimension
-    tr = subtree(params, "pair_transition_init")
-    weights = {
-        "w1": pr["output_projection_layer1"]["weights"],
-        "b1": pr["output_projection_layer1"]["bias"],
-        "w2": pr["output_projection_layer2"]["weights"],
-        "b2": pr["output_projection_layer2"]["bias"],
-        "wr": pr["right_projection_1"]["weights"],
-        "br": pr["right_projection_1"]["bias"],
-        "ln1_scale": pr["layer_norm_output"]["scale"],
-        "ln1_offset": pr["layer_norm_output"]["offset"],
-        "wl_rel": params["linear"]["w"][:d],
-        "wl_pair": params["linear"]["w"][d:],
-        "bl": params["linear"]["b"],
-        "ln2_scale": tr["input_layer_norm"]["scale"],
-        "ln2_offset": tr["input_layer_norm"]["offset"],
-        "t1": tr["transition1"]["weights"],
-        "tb1": tr["transition1"]["bias"],
-        "t2": tr["transition2"]["weights"],
-        "tb2": tr["transition2"]["bias"],
-    }
-    return fused_pair_representation(
-        left, right, weights, seq_max=cfg.seq_max_size, pe_dim=d,
-        bf16_operands=bf16_operands,
-    )
-
-
-def _fused_pair_applicable(params: Params, cfg: SeqDecoderConfig, n: int) -> bool:
-    from protein_structure_tokenizer_tpu.ops.pair_kernels import (
-        pair_representation_supported,
-    )
-
-    return (
-        cfg.pair_representation.lnormalisation
-        and cfg.pair_transition.chunk_size is None
-        and "b" in params["linear"]
-        and pair_representation_supported(n)
-    )
-
-
 def sequence_decoder(
     params: Params,
     cfg: SeqDecoderConfig,
@@ -176,37 +118,15 @@ def sequence_decoder(
     """
     batch, n, _ = single_emb.shape
 
-    # Fused Pallas pair kernel: OPT-IN (use_pallas=True).  End-to-end v5e
-    # decode A/B at B=32 (round 3, honest fetch barriers, warm compiles):
-    # the kernel loses ~10% at N=512 (211-233 vs 190-213 ms), ties within
-    # run-to-run noise at N=128-384.  XLA's schedule for the pair chain is
-    # already HBM-roofline-bound with operands fed bf16 (DEFAULT matmul
-    # precision), so the fusion has no traffic left to remove at the
-    # flagship shape.  use_pallas="exact_dots" keeps full-f32 products
-    # (tight-equivalence tests); the ``exact`` conformance path bypasses the
-    # kernel entirely.
-    if use_pallas is None:
-        use_pallas = False
-    if use_pallas and not mesh_lib.single_device(mesh):
-        warn_once(
-            logger,
-            "pair_pallas_mesh_gate",
-            "use_pallas requested but the mesh spans %d devices; the fused "
-            "pair kernel needs arrays whole on one device — falling back to "
-            "the XLA pair path (wrap with parallel.mesh.data_shard_map to "
-            "keep kernels active under data parallelism)",
-            mesh.size,
-        )
-    if (
-        use_pallas
-        and not exact
-        and mesh_lib.single_device(mesh)  # pallas_call: no GSPMD partitioning
-        and _fused_pair_applicable(params, cfg, n)
-    ):
-        return single_emb, _fused_pair_path(
-            params, cfg, single_emb, nodes_mask,
-            bf16_operands=use_pallas != "exact_dots",
-        )
+    # No Pallas kernel on the pair track — adjudicated "win or delete" and
+    # deleted (round 4): the fused pair-representation kernel lost to XLA's
+    # schedule in every regime tried — −10% at f32 B=32/N=512 (round 3),
+    # −18% at bf16 B=32 and −11% at bf16 B=64 (round-4 same-run A/B,
+    # tools/bench_decode_ab.py).  The XLA pair chain is HBM-roofline-bound
+    # with bf16-fed matmuls; the fusion had no traffic left to remove.
+    # ``use_pallas`` is accepted (and ignored) so vq3d can thread one flag
+    # to both the GNN kernels (a 2x WIN, models/gnn.py) and here.
+    del use_pallas
 
     pair = pairwise_representation(
         subtree(params, "pairwise_representation"),

@@ -1,5 +1,6 @@
 """Mixed-precision policy wrapper."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -86,6 +87,47 @@ def test_bf16_runner_decode():
     assert np.abs(p16 - p32).mean() / scale < 0.1, (
         np.abs(p16 - p32).mean(), scale
     )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bucket", [128, 512])
+def test_bf16_decode_bucket_tolerances(bucket):
+    """Pinned per-bucket coordinate tolerances for the bf16 decode path —
+    the policy that lets the BENCH/non-conformance decode default to bf16
+    (the f32 ``--exact``/conformance path is untouched).
+
+    Random weights are the WORST case: the 8 chaotic fold iterations amplify
+    bf16 rounding to ~0.9 A mean drift (measured 0.83-0.89 A across buckets,
+    CA-RMSD 1.18-1.29 A); trained weights converge the fold to a fixed point.
+    Bounds sit ~1.5x above the measured random-weight drift so a numerics
+    regression trips them while backend noise does not."""
+    from protein_structure_tokenizer_tpu.models import vq3d
+    from protein_structure_tokenizer_tpu.models.config import preset
+    from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
+    from protein_structure_tokenizer_tpu.runtime.runner import InferenceRunner
+
+    cfg = preset(4096, 1)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    mesh = mesh_lib.make_mesh(jax.devices()[:1])
+    r32 = InferenceRunner(cfg, params, mesh)
+    r16 = InferenceRunner(cfg, params, mesh, compute_dtype=jnp.bfloat16)
+
+    n = bucket - 7  # off-bucket length: pad rows must not affect tolerance
+    rng = np.random.RandomState(bucket)
+    ids = r32.pad_token_rows(
+        [rng.randint(0, cfg.fsq.num_codes, size=(n,))], effective_len=bucket
+    )
+    _, o32 = r32.dispatch_decode(ids)
+    _, o16 = r16.dispatch_decode(ids)
+    p32 = np.asarray(o32["backbone_positions"])[0, :n]
+    p16 = np.asarray(o16["backbone_positions"])[0, :n]
+
+    assert p16.dtype == np.float32 and np.isfinite(p16).all()
+    dist = np.linalg.norm(p16 - p32, axis=-1)
+    ca_rmsd = np.sqrt(((p16[:, 1] - p32[:, 1]) ** 2).sum(-1).mean())
+    assert dist.mean() < 1.5, f"bucket {bucket}: mean drift {dist.mean():.3f} A"
+    assert dist.max() < 6.0, f"bucket {bucket}: max drift {dist.max():.3f} A"
+    assert ca_rmsd < 2.0, f"bucket {bucket}: CA-RMSD {ca_rmsd:.3f} A"
 
 
 def test_bf16_incompatible_with_exact():
