@@ -365,26 +365,35 @@ def bench_decode(lengths):
     df = cfg.data.downsampling_ratio
 
     rng = np.random.RandomState(0)
-    sub = DECODE_SUB
+    seq_max = cfg.data.seq_max_size
     lens = sorted(lengths.values())
-    rows = [lens[i % len(lens)] for i in range(sub * DECODE_BATCHES)]
-    rows.sort()
+    rows = sorted(
+        lens[i % len(lens)] for i in range(DECODE_SUB * DECODE_BATCHES)
+    )
+    # Same adaptive geometry as runner.decode_tokens: rows per dispatch
+    # scale inversely with the bucket (constant device work per dispatch,
+    # amortizing the ~25-50 ms per-dispatch tunnel latency on short chains).
     batches, total_valid = [], 0
     flops = bytes_lb = 0.0
     counted = {}
-    for i in range(0, len(rows), sub):
-        chunk = rows[i : i + sub]
-        bucket = next((b for b in buckets if b >= max(chunk)), cfg.data.seq_max_size)
+    i = 0
+    while i < len(rows):
+        bucket = next((b for b in buckets if b >= rows[i]), seq_max)
+        sub = DECODE_SUB * max(1, seq_max // bucket)
+        chunk = [n for n in rows[i : i + sub] if n <= bucket]
+        i += len(chunk)
         seqs = [rng.randint(0, cfg.fsq.num_codes, size=(n // df,)) for n in chunk]
+        while len(seqs) < sub:  # fill the tail: one batch shape per bucket
+            seqs.append(seqs[len(seqs) % len(chunk)])
         ids = runner.pad_token_rows(seqs, effective_len=bucket // df)
-        total_valid += sum(chunk)
+        total_valid += sum(len(s) * df for s in seqs)
         batches.append(ids)
-        key = (len(chunk), bucket)
+        key = (sub, bucket)
         if key not in counted:
             counted[key] = _decode_model_flops(cfg, params, runner, ids)
         flops += counted[key]
         bytes_lb += roofline.decode_pair_bytes(
-            len(chunk), bucket,
+            sub, bucket,
             pair_dim=cfg.decoder.pair_representation.output_dim,
             itemsize=2,  # bf16 pair track on the bench path
             num_fold_iterations=cfg.structure_module.num_layer,

@@ -712,7 +712,11 @@ class InferenceRunner:
         progress: bool = False,
         profile_dir: Optional[str] = None,
     ) -> dict:
-        """Decode token .npy files into backbone structures (and PDB files)."""
+        """Decode token .npy files into backbone structures (and PDB files).
+
+        ``batch_size_per_device`` is the rows-per-dispatch at FULL padding;
+        shorter length buckets dispatch proportionally more rows (constant
+        device work per dispatch, amortizing per-dispatch latency)."""
         cfg = self.config.data
         timers = StageTimers()
         pad_id = pad_token_id if pad_token_id is not None else cfg.pad_token_id
@@ -736,9 +740,6 @@ class InferenceRunner:
                     token_counts[path] = cfg.seq_max_size // cfg.downsampling_ratio
             token_files = sorted(token_files, key=lambda q: (token_counts[q], q))
 
-        num_iterations = -(-len(token_files) // global_batch)
-        padded_files = list(islice(cycle(token_files), num_iterations * global_batch))
-
         def chunk_token_len(chunk) -> Optional[int]:
             if not self.length_buckets:
                 return None
@@ -749,13 +750,52 @@ class InferenceRunner:
             )
             return bucket // df
 
+        # Rows per dispatch scale inversely with the bucket length (device
+        # work per dispatch ~ constant): short-chain dispatches would
+        # otherwise be bound by per-dispatch latency, not compute (each
+        # remote dispatch costs ~25-50 ms through a tunnel and nonzero
+        # anywhere).  Chunks are bucket-homogeneous — each file's own bucket
+        # decides its run — and tail chunks are filled by cycling the run's
+        # files so every bucket compiles exactly one batch shape.
+        full_t = cfg.seq_max_size // cfg.downsampling_ratio
+        if self.length_buckets:
+            chunks = []
+            run: list = []
+            run_t: Optional[int] = None
+
+            def flush(run, run_t):
+                rows = global_batch * max(1, full_t // run_t)
+                for i in range(0, len(run), rows):
+                    chunk = run[i : i + rows]
+                    if len(chunk) < rows:
+                        chunk = list(islice(cycle(run), rows))[: rows]
+                    chunks.append(chunk)
+
+            for path in token_files:
+                t = chunk_token_len([path])
+                if run_t is None or t == run_t:
+                    run.append(path)
+                    run_t = t
+                else:
+                    flush(run, run_t)
+                    run, run_t = [path], t
+            if run:
+                flush(run, run_t)
+        else:
+            num_iterations = -(-len(token_files) // global_batch)
+            padded = list(islice(cycle(token_files), num_iterations * global_batch))
+            chunks = [
+                padded[i * global_batch : (i + 1) * global_batch]
+                for i in range(num_iterations)
+            ]
+
         results = {}
-        iterator = range(num_iterations)
+        iterator = chunks
         if progress:
             try:
                 from tqdm import tqdm
 
-                iterator = tqdm(iterator, total=num_iterations)
+                iterator = tqdm(iterator, total=len(chunks))
             except ImportError:
                 pass
 
@@ -784,8 +824,7 @@ class InferenceRunner:
 
         in_flight: deque = deque()
         with device_trace(profile_dir):
-            for it in iterator:
-                chunk = padded_files[it * global_batch : (it + 1) * global_batch]
+            for chunk in iterator:
                 with timers.annotated_stage("load+mask"):
                     tokens_ids = self.pad_token_rows(
                         [np.load(path) for path in chunk], pad_id,
