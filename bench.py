@@ -567,7 +567,8 @@ def bench_generate():
     n_chips = len(jax.devices())
     seg_of = lambda batch: 64 if batch <= 32 else 128
 
-    def measure(batch):
+    def measure(batch, params_arg=None):
+        pp = params if params_arg is None else params_arg
         # params MUST be a jit argument: closing over the ~124M-param tree
         # embeds it as constants in the HLO, and this backend's remote-
         # compile service drops the oversized program ("Broken pipe").
@@ -576,7 +577,7 @@ def bench_generate():
                 p, cfg, k, batch, cfg.max_position_embeddings,
                 use_cache=True, cache_segment=seg_of(batch),
             )
-        ).lower(params, jax.random.PRNGKey(1))
+        ).lower(pp, jax.random.PRNGKey(1))
         try:
             jfn = lowered.compile(
                 compiler_options={
@@ -585,13 +586,13 @@ def bench_generate():
             )
         except Exception:  # unknown option on a future backend: still run
             jfn = lowered.compile()
-        np.asarray(jfn(params, jax.random.PRNGKey(1)))  # warm
+        np.asarray(jfn(pp, jax.random.PRNGKey(1)))  # warm
         _note(f"generate B={batch}: compiled+warm")
 
         def block():
             start = time.perf_counter()
             outs = [
-                jfn(params, jax.random.PRNGKey(2 + i))
+                jfn(pp, jax.random.PRNGKey(2 + i))
                 for i in range(TIMED_ITERS)
             ]
             for o in outs:
@@ -624,6 +625,7 @@ def bench_generate():
         "bytes": block_bytes * TIMED_ITERS,
         "elapsed": best_s,
         "measure": measure,
+        "params": params,
     }
 
 
@@ -1091,6 +1093,32 @@ def main():
                     tp, None, median=tp_med,
                 )
                 _note(f"generate throughput mode done: {tp:.0f} tok/s/chip")
+            if _remaining() > STAGE_MIN_S["generate"]:
+                # Weight-only int8 serving path (lm.quant, --int8): int8
+                # matmul weights halve the dominant parameter read.
+                import jax
+
+                from protein_structure_tokenizer_tpu.lm import quant
+
+                qparams = jax.device_put(
+                    quant.quantize_gpt_params_int8(gen["params"])
+                )
+                i8, i8_med, _ = gen["measure"](16, qparams)
+                _emit(
+                    "gpt_generate_int8_tokens_per_sec_per_chip",
+                    "tokens/s/chip", i8, gen["ref"], median=i8_med,
+                )
+                _note(f"generate int8 done: {i8:.0f} tok/s/chip")
+                if _remaining() > STAGE_MIN_S["generate"]:
+                    i8t, i8t_med, _ = gen["measure"](
+                        GENERATE_THROUGHPUT_BATCH, qparams
+                    )
+                    _emit(
+                        "gpt_generate_int8_throughput_mode_tokens_per_sec_per_chip",
+                        f"tokens/s/chip@B={GENERATE_THROUGHPUT_BATCH}",
+                        i8t, None, median=i8t_med,
+                    )
+                    _note(f"generate int8 throughput mode done: {i8t:.0f} tok/s/chip")
         except Exception as e:
             # Known failure mode on this backend: the remote-compile service
             # drops the connection ("Broken pipe") after ~30 min on the

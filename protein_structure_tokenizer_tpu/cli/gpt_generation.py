@@ -77,6 +77,14 @@ def main(argv=None) -> None:
                              "distribution equivalence pinned in "
                              "tests/test_gpt.py).  Incompatible with "
                              "--tensor_parallel")
+    parser.add_argument("--int8", action="store_true",
+                        help="weight-only int8 serving path: per-layer "
+                             "matmul weights stored int8 with per-output-"
+                             "channel f32 scales (halves the dominant "
+                             "parameter read vs bf16), bf16 activations + "
+                             "KV cache, f32 softmax/LN/logits islands.  "
+                             "Implies --bf16; distribution shift pinned in "
+                             "tests/test_gpt.py")
     parser.add_argument("--cache_segment", type=int, default=None,
                         help="grow the KV cache in this many-step segments "
                              "instead of allocating the full block (cuts "
@@ -135,11 +143,11 @@ def main(argv=None) -> None:
             dict(mesh.shape),
         )
 
-    if args.bf16:
+    if args.bf16 or args.int8:
         if args.tensor_parallel > 1:
             raise SystemExit(
-                "--bf16 fuses qkv weights, which tensor parallelism shards "
-                "separately; use one or the other"
+                "--bf16/--int8 fuse qkv weights, which tensor parallelism "
+                "shards separately; use one or the other"
             )
         import jax.numpy as jnp
 
@@ -148,7 +156,16 @@ def main(argv=None) -> None:
         params = gpt.fuse_qkv_params(
             cast_floats(params, jnp.bfloat16), cfg
         )
-        logger.info("bf16 sampling path: bf16 params + KV cache, fused qkv")
+        if args.int8:
+            from protein_structure_tokenizer_tpu.lm import quant
+
+            params = quant.quantize_gpt_params_int8(params)
+            logger.info(
+                "int8 serving path: int8 matmul weights + bf16 "
+                "activations/KV cache, fused qkv"
+            )
+        else:
+            logger.info("bf16 sampling path: bf16 params + KV cache, fused qkv")
 
     seq_dir = os.path.join(args.sequence_save_path, "seqs")
     os.makedirs(seq_dir, exist_ok=True)

@@ -134,12 +134,19 @@ def generate(
 
     # Cache dtype follows the parameter dtype: bf16 params (the fast
     # generate path — see runtime.precision.cast_floats) get a bf16 cache,
-    # halving the per-step HBM bound; samplers still see f32 logits.
-    param_dtype = next(
-        leaf.dtype
-        for leaf in jax.tree_util.tree_leaves(params)
-        if jnp.issubdtype(leaf.dtype, jnp.floating)
-    )
+    # halving the per-step HBM bound; samplers still see f32 logits.  The
+    # embedding table is the authority when present — under the int8 path
+    # (lm.quant) the weight leaves are int8 with f32 scales, and neither
+    # should decide the cache dtype.
+    embed = params.get("gpt_decoder/~/token_embed")
+    if embed is not None:
+        param_dtype = embed["embeddings"].dtype
+    else:
+        param_dtype = next(
+            leaf.dtype
+            for leaf in jax.tree_util.tree_leaves(params)
+            if jnp.issubdtype(leaf.dtype, jnp.floating)
+        )
 
     def step(carry, t):
         tokens, cache, key = carry

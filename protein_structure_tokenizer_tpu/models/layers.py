@@ -31,8 +31,22 @@ Leaves = dict
 
 
 def linear(p: Leaves, x: jax.Array) -> jax.Array:
-    """Plain Linear on the last axis; leaves {"w": (in,out), "b": (out,)}."""
-    y = jnp.matmul(x, p["w"], preferred_element_type=x.dtype)
+    """Plain Linear on the last axis; leaves {"w": (in,out), "b": (out,)}.
+
+    Also accepts the weight-only int8 layout produced by
+    ``lm.quant.quantize_gpt_params_int8`` — ``{"w_int8": int8 (in,out),
+    "w_scale": f32 (out,)}``: the weights cross HBM as int8 (XLA fuses the
+    convert into the matmul operand read) and the per-output-column scale
+    multiplies the f32-upcast output, algebraically identical to scaling the
+    weight columns up front.
+    """
+    if "w_int8" in p:
+        y = jnp.matmul(
+            x, p["w_int8"].astype(x.dtype), preferred_element_type=x.dtype
+        )
+        y = (y.astype(jnp.float32) * p["w_scale"]).astype(x.dtype)
+    else:
+        y = jnp.matmul(x, p["w"], preferred_element_type=x.dtype)
     b = p.get("b")
     if b is not None:
         y = y + b

@@ -275,3 +275,63 @@ def test_stop_at_eos_matches_full_block():
             params, cfg, key, batch_size=1, num_tokens=8,
             use_cache=False, stop_at_eos=True,
         )
+
+
+def test_int8_weight_only_quantization():
+    """The int8 serving path (lm.quant): per-output-channel symmetric int8
+    weights for the per-layer matmuls, everything else untouched.  Round-trip
+    error is bounded by half a quantization step per weight; logits stay
+    within a small KL of the f32 model; generation emits valid ids and the
+    KV cache keeps the bf16 dtype (the f32 scales must not decide it)."""
+    from protein_structure_tokenizer_tpu.lm import quant
+    from protein_structure_tokenizer_tpu.runtime.precision import cast_floats
+
+    params = gpt.init(jax.random.PRNGKey(7), SMALL)
+    qparams = quant.quantize_gpt_params_int8(params)
+
+    # Layout: the matmul leaves carry int8 + f32 scales; embeddings, norms
+    # and the head pass through unchanged.
+    n_quant = sum("w_int8" in leaves for leaves in qparams.values())
+    assert n_quant == SMALL.num_layers * 6  # q/k/v/out + glu + fc2 per layer
+    assert "w" in qparams["gpt_decoder/~/simple_lm_head/~/lm_final_fc"]
+    for leaves in qparams.values():
+        if "w_int8" in leaves:
+            assert leaves["w_int8"].dtype == jnp.int8
+            assert leaves["w_scale"].dtype == jnp.float32
+
+    # Round trip: per-element error <= scale/2 (half a quantization step).
+    deq = quant.dequantize_gpt_params(qparams)
+    for scope, leaves in params.items():
+        if "w_int8" not in qparams[scope]:
+            continue
+        err = np.abs(np.asarray(deq[scope]["w"]) - np.asarray(leaves["w"]))
+        step = np.asarray(qparams[scope]["w_scale"])[None, :]
+        assert (err <= 0.5 * step + 1e-7).all(), scope
+
+    # Distribution: int8 logits track f32 logits within a small KL.
+    rng = np.random.RandomState(11)
+    seq = jnp.asarray(rng.randint(0, SMALL.vocab_size, size=(2, 10)), jnp.int32)
+    l32 = np.asarray(gpt.forward(params, SMALL, seq)["logits"], np.float64)
+    q16 = quant.quantize_gpt_params_int8(
+        gpt.fuse_qkv_params(cast_floats(params, jnp.bfloat16), SMALL)
+    )
+    l8 = np.asarray(gpt.forward(q16, SMALL, seq)["logits"], np.float64)
+
+    def log_softmax(z):
+        z = z - z.max(axis=-1, keepdims=True)
+        return z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+
+    lp, lq = log_softmax(l32), log_softmax(l8)
+    kl = (np.exp(lp) * (lp - lq)).sum(axis=-1)
+    assert kl.max() < 3e-2, f"int8 sampling distribution drifted: KL={kl.max()}"
+
+    # Cache dtype follows the embedding dtype (bf16), not the f32 scales,
+    # and end-to-end generation emits only valid token ids.
+    toks = np.asarray(
+        sampling.generate(
+            q16, SMALL, jax.random.PRNGKey(5), batch_size=2,
+            num_tokens=12, method="top_k", k=4, temperature=0.8,
+        )
+    )
+    assert toks.shape == (2, 12)
+    assert ((toks >= 0) & (toks < SMALL.vocab_size)).all()
