@@ -567,7 +567,7 @@ def bench_generate():
     n_chips = len(jax.devices())
     seg_of = lambda batch: 64 if batch <= 32 else 128
 
-    def measure(batch, params_arg=None):
+    def measure(batch, params_arg=None, int8_kv=False):
         pp = params if params_arg is None else params_arg
         # params MUST be a jit argument: closing over the ~124M-param tree
         # embeds it as constants in the HLO, and this backend's remote-
@@ -575,7 +575,7 @@ def bench_generate():
         lowered = jax.jit(
             lambda p, k: sampling.generate(
                 p, cfg, k, batch, cfg.max_position_embeddings,
-                use_cache=True, cache_segment=seg_of(batch),
+                use_cache=True, cache_segment=seg_of(batch), int8_kv=int8_kv,
             )
         ).lower(pp, jax.random.PRNGKey(1))
         try:
@@ -1094,8 +1094,10 @@ def main():
                 )
                 _note(f"generate throughput mode done: {tp:.0f} tok/s/chip")
             if _remaining() > STAGE_MIN_S["generate"]:
-                # Weight-only int8 serving path (lm.quant, --int8): int8
-                # matmul weights halve the dominant parameter read.
+                # Full int8 serving recipe (--int8 --int8_kv): int8 matmul
+                # weights (lm.quant) + int8 KV cache with per-vector scales
+                # folded into the attention matmuls — halves BOTH dominant
+                # HBM terms of a cached step vs bf16.
                 import jax
 
                 from protein_structure_tokenizer_tpu.lm import quant
@@ -1103,7 +1105,7 @@ def main():
                 qparams = jax.device_put(
                     quant.quantize_gpt_params_int8(gen["params"])
                 )
-                i8, i8_med, _ = gen["measure"](16, qparams)
+                i8, i8_med, _ = gen["measure"](16, qparams, int8_kv=True)
                 _emit(
                     "gpt_generate_int8_tokens_per_sec_per_chip",
                     "tokens/s/chip", i8, gen["ref"], median=i8_med,
@@ -1111,7 +1113,7 @@ def main():
                 _note(f"generate int8 done: {i8:.0f} tok/s/chip")
                 if _remaining() > STAGE_MIN_S["generate"]:
                     i8t, i8t_med, _ = gen["measure"](
-                        GENERATE_THROUGHPUT_BATCH, qparams
+                        GENERATE_THROUGHPUT_BATCH, qparams, int8_kv=True
                     )
                     _emit(
                         "gpt_generate_int8_throughput_mode_tokens_per_sec_per_chip",

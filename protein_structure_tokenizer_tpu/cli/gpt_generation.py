@@ -85,6 +85,12 @@ def main(argv=None) -> None:
                              "KV cache, f32 softmax/LN/logits islands.  "
                              "Implies --bf16; distribution shift pinned in "
                              "tests/test_gpt.py")
+    parser.add_argument("--int8_kv", action="store_true",
+                        help="int8 KV cache with per-(batch,position,head) "
+                             "f32 scales folded into the attention matmuls "
+                             "— halves the dominant cache read vs bf16.  "
+                             "Combine with --int8 for the full int8 "
+                             "serving recipe")
     parser.add_argument("--cache_segment", type=int, default=None,
                         help="grow the KV cache in this many-step segments "
                              "instead of allocating the full block (cuts "
@@ -207,6 +213,7 @@ def main(argv=None) -> None:
             method=args.sampling_method,
             use_cache=not args.no_cache,
             cache_segment=args.cache_segment,
+            int8_kv=args.int8_kv,
             stop_at_eos=args.stop_at_eos,
             mesh=mesh,
             **kwargs,

@@ -205,7 +205,26 @@ def attention(
     keys = jnp.concatenate([k_rot, keys[..., rot:]], axis=-1)
     queries = jnp.concatenate([q_rot, queries[..., rot:]], axis=-1)
 
-    if kv_cache is not None:
+    k_scale = v_scale = None
+    if kv_cache is not None and "k_scale" in kv_cache:
+        # int8 KV cache: keys/values stored int8 with one f32 scale per
+        # (batch, position, head) vector.  The scales FOLD into the existing
+        # matmuls — k_scale is a per-key-column factor applied to the QK
+        # logits, v_scale premultiplies the probability weights — so the
+        # cache crosses HBM as int8 bytes and no dequantized copy exists.
+        kq, ks = _quantize_kv(keys)
+        vq, vs = _quantize_kv(values)
+        kv_cache = {
+            "k": _cache_update(kv_cache["k"], kq, cache_index),
+            "k_scale": _cache_update_scale(kv_cache["k_scale"], ks, cache_index),
+            "v": _cache_update(kv_cache["v"], vq, cache_index),
+            "v_scale": _cache_update_scale(kv_cache["v_scale"], vs, cache_index),
+        }
+        keys = kv_cache["k"].astype(x.dtype)
+        values = kv_cache["v"].astype(x.dtype)
+        k_scale = kv_cache["k_scale"]  # (B, T, H) f32
+        v_scale = kv_cache["v_scale"]
+    elif kv_cache is not None:
         # Insert this step's keys/values at cache_index and attend to the cache.
         keys = _cache_update(kv_cache["k"], keys, cache_index)
         values = _cache_update(kv_cache["v"], values, cache_index)
@@ -219,9 +238,14 @@ def attention(
         "...thd,...Thd->...htT", queries, keys,
         preferred_element_type=jnp.float32,
     )
+    if k_scale is not None:
+        logits = logits * jnp.transpose(k_scale, (0, 2, 1))[..., None, :]
     logits = logits / jnp.sqrt(jnp.float32(keys.shape[-1]))
     logits = jnp.where(attention_mask, logits, -1e30)
-    weights = jax.nn.softmax(logits, axis=-1).astype(values.dtype)
+    weights = jax.nn.softmax(logits, axis=-1)
+    if v_scale is not None:
+        weights = weights * jnp.transpose(v_scale, (0, 2, 1))[..., None, :]
+    weights = weights.astype(values.dtype)
     out = jnp.einsum("...htT,...Thd->...thd", weights, values)
     out = out.reshape(batch, t, -1)
     return linear(p["out_linear"], out), kv_cache
@@ -232,6 +256,22 @@ def _cache_update(cache: jax.Array, new: jax.Array, index: jax.Array) -> jax.Arr
     return jax.lax.dynamic_update_slice(
         cache, new.astype(cache.dtype), (0, index.astype(jnp.int32), 0, 0)
     )
+
+
+def _cache_update_scale(cache: jax.Array, new: jax.Array, index: jax.Array) -> jax.Array:
+    """Write `new` (B, t, H) into the scale buffer (B, T, H) at `index`."""
+    return jax.lax.dynamic_update_slice(
+        cache, new.astype(cache.dtype), (0, index.astype(jnp.int32), 0)
+    )
+
+
+def _quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-(batch, position, head)-vector int8 quantization of a
+    fresh key/value block (B, t, H, D) -> (int8 (B, t, H, D), f32 (B, t, H))."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def decoder_layer(
@@ -400,18 +440,35 @@ def init_kv_cache(
     *,
     mesh: Optional[Mesh] = None,
     dtype=jnp.float32,
+    int8: bool = False,
 ) -> list:
     """``dtype`` should match the parameter dtype: the cache READ is the
     dominant HBM traffic of a KV-cached step (2 x layers x B x T x C bytes
-    vs one read of the params), so a bf16 cache halves the step's bound."""
+    vs one read of the params), so a bf16 cache halves the step's bound.
+
+    ``int8=True`` stores keys/values int8 with one f32 scale per
+    (batch, position, head) vector — half the bf16 cache bytes again; the
+    scales fold into the attention matmuls (see :func:`attention`)."""
     shape = (batch, max_len, cfg.num_heads, cfg.key_size)
 
-    def zeros():
-        z = jnp.zeros(shape, dtype)
+    def zeros(s=shape, dt=None, spec=P(tp.DATA_AXIS, None, tp.MODEL_AXIS, None)):
+        z = jnp.zeros(s, dtype if dt is None else dt)
         # Under tensor parallelism the cache shards with the head axis (same
         # layout the attention constraint pins for fresh keys/values).
-        return tp.constrain(z, mesh, P(tp.DATA_AXIS, None, tp.MODEL_AXIS, None))
+        return tp.constrain(z, mesh, spec)
 
+    if int8:
+        scale_shape = (batch, max_len, cfg.num_heads)
+        scale_spec = P(tp.DATA_AXIS, None, tp.MODEL_AXIS)
+        return [
+            {
+                "k": zeros(dt=jnp.int8),
+                "k_scale": zeros(scale_shape, jnp.float32, scale_spec),
+                "v": zeros(dt=jnp.int8),
+                "v_scale": zeros(scale_shape, jnp.float32, scale_spec),
+            }
+            for _ in range(cfg.num_layers)
+        ]
     return [{"k": zeros(), "v": zeros()} for _ in range(cfg.num_layers)]
 
 

@@ -80,6 +80,7 @@ def generate(
     use_cache: bool = True,
     stop_at_eos: bool = False,
     cache_segment: Optional[int] = None,
+    int8_kv: bool = False,
     mesh=None,
     **sampling_kwargs,
 ) -> jax.Array:
@@ -100,6 +101,12 @@ def generate(
     (parallel/tp.py); ``params`` must then be placed with
     ``tp.shard_gpt_params``.
 
+    ``int8_kv`` stores the KV cache int8 with per-(batch, position, head)
+    f32 scales (half the bf16 cache bytes again; scales fold into the
+    attention matmuls — gpt.init_kv_cache / gpt.attention).  Requires
+    ``use_cache``; sampled tokens shift within the pinned int8 tolerance
+    (tests/test_gpt.py).
+
     ``cache_segment=S`` grows the KV cache in S-step segments instead of
     allocating ``num_tokens`` up front: step t's attention reads a cache of
     ceil((t+1)/S)*S positions rather than always ``num_tokens``.  The cache
@@ -118,6 +125,8 @@ def generate(
 
     if stop_at_eos and not use_cache:
         raise ValueError("stop_at_eos requires use_cache=True")
+    if int8_kv and not use_cache:
+        raise ValueError("int8_kv requires use_cache=True")
 
     if not use_cache:
         def step(carry, t):
@@ -160,7 +169,8 @@ def generate(
     if cache_segment and not stop_at_eos:
         seg = int(cache_segment)
         cache = gpt.init_kv_cache(
-            cfg, batch_size, min(seg, num_tokens), mesh=mesh, dtype=param_dtype
+            cfg, batch_size, min(seg, num_tokens), mesh=mesh,
+            dtype=param_dtype, int8=int8_kv,
         )
         carry = (tokens, cache, key)
         for start in range(0, num_tokens, seg):
@@ -170,7 +180,12 @@ def generate(
                 pad = end - cache[0]["k"].shape[1]
                 cache = [
                     {
-                        name: jnp.pad(buf, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                        # axis 1 is positions for every buffer (the int8
+                        # layout adds 3-D (B, T, H) scale leaves)
+                        name: jnp.pad(
+                            buf,
+                            [(0, pad) if a == 1 else (0, 0) for a in range(buf.ndim)],
+                        )
                         for name, buf in layer.items()
                     }
                     for layer in cache
@@ -180,7 +195,7 @@ def generate(
         return carry[0]
 
     cache = gpt.init_kv_cache(
-        cfg, batch_size, num_tokens, mesh=mesh, dtype=param_dtype
+        cfg, batch_size, num_tokens, mesh=mesh, dtype=param_dtype, int8=int8_kv
     )
 
     if stop_at_eos:

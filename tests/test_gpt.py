@@ -335,3 +335,51 @@ def test_int8_weight_only_quantization():
     )
     assert toks.shape == (2, 12)
     assert ((toks >= 0) & (toks < SMALL.vocab_size)).all()
+
+
+def test_int8_kv_cache():
+    """int8 KV cache: per-(batch, position, head) scales fold into the
+    attention matmuls.  Step logits track the f32-cache step logits; the
+    segmented-growth path pads the 3-D scale buffers correctly; generation
+    emits valid ids."""
+    params = gpt.init(jax.random.PRNGKey(9), SMALL)
+    rng = np.random.RandomState(13)
+    seq = jnp.asarray(rng.randint(0, SMALL.vocab_size, size=(2, 10)), jnp.int32)
+
+    def run_steps(int8):
+        cache = gpt.init_kv_cache(SMALL, 2, 10, int8=int8)
+        out = []
+        for t in range(10):
+            logits, cache = gpt.forward_step(
+                params, SMALL, seq[:, t : t + 1], cache, jnp.asarray(t)
+            )
+            out.append(np.asarray(logits))
+        return np.stack(out, axis=1), cache
+
+    ref, _ = run_steps(False)
+    got, cache = run_steps(True)
+    assert cache[0]["k"].dtype == jnp.int8
+    assert cache[0]["k_scale"].shape == (2, 10, SMALL.num_heads)
+    # per-vector int8 rounding is ~0.4% relative; logits are O(1) here
+    np.testing.assert_allclose(got, ref, atol=0.15, rtol=0)
+
+    # softmax weights stay normalized-ish: probabilities from the two paths
+    # agree to a small KL
+    def log_softmax(z):
+        z = z - z.max(axis=-1, keepdims=True)
+        return z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+
+    lp, lq = log_softmax(ref.astype(np.float64)), log_softmax(got.astype(np.float64))
+    kl = (np.exp(lp) * (lp - lq)).sum(axis=-1)
+    assert kl.max() < 3e-2, f"int8 KV drifted: KL={kl.max()}"
+
+    # segmented growth (pads int8 buffers AND 3-D scales) + generation
+    toks = np.asarray(
+        sampling.generate(
+            params, SMALL, jax.random.PRNGKey(5), batch_size=2,
+            num_tokens=12, method="temperature", temperature=0.8,
+            cache_segment=5, int8_kv=True,
+        )
+    )
+    assert toks.shape == (2, 12)
+    assert ((toks >= 0) & (toks < SMALL.vocab_size)).all()

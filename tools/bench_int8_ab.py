@@ -32,12 +32,12 @@ def note(msg):
     print(f"# [{time.monotonic() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def measure(params, cfg, batch, windows=5, iters=3):
+def measure(params, cfg, batch, windows=5, iters=3, int8_kv=False):
     seg = 64 if batch <= 32 else 128
     lowered = jax.jit(
         lambda p, k: sampling.generate(
             p, cfg, k, batch, cfg.max_position_embeddings,
-            use_cache=True, cache_segment=seg,
+            use_cache=True, cache_segment=seg, int8_kv=int8_kv,
         )
     ).lower(params, jax.random.PRNGKey(1))
     try:
@@ -71,13 +71,15 @@ def main():
     base = gpt.fuse_qkv_params(
         cast_floats(gpt.init(jax.random.PRNGKey(0), cfg), jnp.bfloat16), cfg
     )
+    qparams = jax.device_put(quant.quantize_gpt_params_int8(base))
     variants = {
-        "bf16": jax.device_put(base),
-        "int8": jax.device_put(quant.quantize_gpt_params_int8(base)),
+        "bf16": (jax.device_put(base), False),
+        "int8": (qparams, False),
+        "int8+kv8": (qparams, True),
     }
     for batch in [int(b) for b in args.batches.split(",")]:
-        for name, params in variants.items():
-            best, med = measure(params, cfg, batch)
+        for name, (params, kv8) in variants.items():
+            best, med = measure(params, cfg, batch, int8_kv=kv8)
             print(f"{name} B={batch}: best {best:.0f} tok/s, median {med:.0f}",
                   flush=True)
 
