@@ -46,6 +46,11 @@ def main(argv=None) -> None:
                         help="Batching window opened by the first request")
     parser.add_argument("--gpt_weights", type=str, default=None,
                         help="GPT params.joblib to enable POST /generate")
+    parser.add_argument("--gpt_int8", action="store_true",
+                        help="serve /generate on the int8 recipe: int8 "
+                             "matmul weights + int8 KV cache, bf16 "
+                             "activations (lm/quant.py; ~1.4-1.5x the "
+                             "bf16 path)")
     # GPT architecture overrides matching cli.train_lm / cli.gpt_generation —
     # a custom-trained LM's config must match its checkpoint.
     parser.add_argument("--num_layers", type=int, default=None)
@@ -96,6 +101,16 @@ def main(argv=None) -> None:
 
         assert_compatible(gpt.init(jax.random.PRNGKey(0), gpt_config), gpt_params)
         logger.info("loaded GPT weights from %s", args.gpt_weights)
+        if args.gpt_int8:
+            import jax.numpy as jnp
+
+            from protein_structure_tokenizer_tpu.lm import quant
+            from protein_structure_tokenizer_tpu.runtime.precision import cast_floats
+
+            gpt_params = quant.quantize_gpt_params_int8(
+                gpt.fuse_qkv_params(cast_floats(gpt_params, jnp.bfloat16), gpt_config)
+            )
+            logger.info("int8 GPT serving: int8 weights + KV cache")
 
     server = InferenceServer(
         engine,
@@ -103,6 +118,7 @@ def main(argv=None) -> None:
         port=args.port,
         gpt_params=gpt_params,
         gpt_config=gpt_config,
+        sampling_defaults={"int8_kv": True} if args.gpt_int8 else None,
     )
     logger.info(
         "serving %s/df%d on %s:%d (max_batch=%d, window=%.1fms)",

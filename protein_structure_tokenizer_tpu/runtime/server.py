@@ -391,6 +391,9 @@ class InferenceServer:
             # serving default: stop as soon as every row has an EOS — the
             # post-EOS tail is stripped below anyway
             stop_at_eos=bool(opts.get("stop_at_eos", True)),
+            # int8 KV cache (cli.serve --gpt_int8 sets the default; see
+            # lm/quant.py for the weight half of the recipe)
+            int8_kv=bool(opts.get("int8_kv", False)),
             temperature=float(opts.get("temperature", 0.6)),
             k=int(opts.get("top_k", 4)),
             top_p=float(opts.get("top_p", 0.15)),

@@ -248,3 +248,27 @@ def test_conformance_harness_mechanics(tmp_path):
         "--variants", "4096_1",
     ])
     assert rc == 2
+
+
+@pytest.mark.slow
+def test_gpt_generation_int8_end_to_end(tmp_path):
+    """`gpt_generation --int8 --int8_kv` samples valid token files with a
+    tiny random-weight model (the quantized serving recipe end-to-end)."""
+    import numpy as np
+
+    from protein_structure_tokenizer_tpu.cli import gpt_generation
+
+    out = tmp_path / "gen"
+    gpt_generation.main([
+        "--backend", "cpu", "--sequence_save_path", str(out),
+        "--codebook_size", "432", "--num_sequences", "2",
+        "--batch_size_per_device", "2", "--int8", "--int8_kv",
+        "--cache_segment", "8", "--num_layers", "2", "--embed_dim", "32",
+        "--num_heads", "4", "--block_size", "24",
+    ])
+    files = sorted((out / "seqs").glob("*.npy"))
+    # batch scales with the visible device count (8-virtual-device conftest)
+    assert len(files) >= 2
+    for f in files:
+        arr = np.load(f)
+        assert arr.ndim == 1 and (arr >= 0).all() and (arr < 432).all()

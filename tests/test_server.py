@@ -231,3 +231,41 @@ def test_mixed_bucket_window_matches_unbucketed():
     finally:
         bucketed.close()
         plain.close()
+
+
+def test_generate_endpoint_int8(served):
+    """POST /generate on the int8 serving recipe (cli.serve --gpt_int8):
+    int8 weights + int8 KV cache, int8_kv threaded via sampling_defaults."""
+    import jax
+    import jax.numpy as jnp
+
+    from protein_structure_tokenizer_tpu.lm import gpt, quant
+    from protein_structure_tokenizer_tpu.runtime.precision import cast_floats
+
+    cfg, runner, engine, server = served
+    gcfg = gpt.GptConfig(
+        vocab_size=20, embed_dim=32, ffn_embed_dim=64, num_heads=4,
+        num_layers=1, rope_dimensions=8, max_position_embeddings=10,
+        bos_token_id=17, eos_token_id=18, pad_token_id=19,
+    )
+    server.gpt_config = gcfg
+    server.gpt_params = quant.quantize_gpt_params_int8(
+        gpt.fuse_qkv_params(
+            cast_floats(gpt.init(jax.random.PRNGKey(0), gcfg), jnp.bfloat16),
+            gcfg,
+        )
+    )
+    server.sampling_defaults = {"int8_kv": True}
+    try:
+        status, data = _post(
+            server.port, "/generate",
+            json.dumps({"num_sequences": 2, "num_tokens": 8, "seed": 7}).encode(),
+        )
+        assert status == 200, data
+        out = json.loads(data)
+        assert len(out["tokens"]) == 2
+        for row in out["tokens"]:
+            assert all(0 <= t < gcfg.vocab_size for t in row)
+    finally:
+        server.gpt_params = server.gpt_config = None
+        server.sampling_defaults = {}
