@@ -66,6 +66,12 @@ def main(argv=None) -> None:
                         help="MoE architecture override (cli.train_lm MoE LMs)")
     parser.add_argument("--num_selected_experts", type=int, default=2)
     parser.add_argument("--moe_layer_stride", type=int, default=1)
+    parser.add_argument("--prompt_tokens", type=str, default=None,
+                        help=".npy file of structure-token ids (1-D) to "
+                             "condition on: every sampled sequence "
+                             "continues this prefix (prefix completion — "
+                             "e.g. tokens from cli.tokenize_pdb of a "
+                             "partial structure)")
     parser.add_argument("--stop_at_eos", action="store_true",
                         help="Exit the sampling loop once every row has "
                         "emitted EOS (typical proteins need ~180 of the 514 "
@@ -182,6 +188,21 @@ def main(argv=None) -> None:
     elif args.sampling_method == "top_p":
         kwargs["top_p"] = args.top_p
 
+    prompt_row = None
+    if args.prompt_tokens:
+        if args.sampling_method == "random":
+            raise SystemExit("--prompt_tokens is meaningless with the "
+                             "model-free random baseline")
+        prompt_row = np.load(args.prompt_tokens).reshape(-1).astype(np.int32)
+        max_p = cfg.max_position_embeddings - 2
+        if prompt_row.size > max_p:
+            logger.warning(
+                "prompt of %d tokens truncated to %d (block size %d)",
+                prompt_row.size, max_p, cfg.max_position_embeddings,
+            )
+            prompt_row = prompt_row[:max_p]
+        logger.info("conditioning on a %d-token prompt", prompt_row.size)
+
     key = jax.random.PRNGKey(args.seed)
     key, _ = jax.random.split(key)
     # Under tensor parallelism the data axis spans device_count / tp chips.
@@ -214,6 +235,8 @@ def main(argv=None) -> None:
             use_cache=not args.no_cache,
             cache_segment=args.cache_segment,
             int8_kv=args.int8_kv,
+            prompt=(None if prompt_row is None
+                    else np.tile(prompt_row[None], (batch, 1))),
             stop_at_eos=args.stop_at_eos,
             mesh=mesh,
             **kwargs,

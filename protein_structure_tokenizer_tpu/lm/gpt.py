@@ -475,20 +475,28 @@ def init_kv_cache(
 def forward_step(
     params: Params,
     cfg: GptConfig,
-    token_ids: jax.Array,  # (B, 1) current step's token
+    token_ids: jax.Array,  # (B, t) current step's token(s)
     cache: list,
     cache_index: jax.Array,  # scalar int: number of tokens already cached
     *,
     mesh: Optional[Mesh] = None,
 ) -> tuple[jax.Array, list]:
-    """One incremental step; returns (logits (B, vocab), updated cache)."""
+    """One incremental step; returns (logits (B, vocab), updated cache).
+
+    ``token_ids`` may carry t > 1 tokens (PREFILL: condition the cache on a
+    whole prompt in one dispatch — each query position attends causally
+    within the block and to everything already cached); the returned logits
+    are always those of the LAST position."""
     p = subtree(params, "gpt_decoder")
     x = jnp.take(p["~/token_embed"]["embeddings"], token_ids, axis=0)
     batch, t = token_ids.shape
     max_len = cache[0]["k"].shape[1]
-    # Attend to all cached positions <= cache_index.
+    # Query position i (global cache_index + i) attends to every cached/new
+    # key at global position <= its own — for t == 1 this is the familiar
+    # "everything <= cache_index" row.
     key_pos = jnp.arange(max_len)[None, None, None, :]
-    attention_mask = key_pos <= cache_index
+    query_pos = cache_index + jnp.arange(t)[None, None, :, None]
+    attention_mask = key_pos <= query_pos
 
     pad_mask = (
         (token_ids != cfg.pad_token_id) if cfg.num_experts else None

@@ -81,6 +81,7 @@ def generate(
     stop_at_eos: bool = False,
     cache_segment: Optional[int] = None,
     int8_kv: bool = False,
+    prompt: Optional[jax.Array] = None,
     mesh=None,
     **sampling_kwargs,
 ) -> jax.Array:
@@ -88,6 +89,15 @@ def generate(
 
     Step t samples from the logits at position t and writes at t+1 (the final
     step's write falls off the end, as in the reference).
+
+    ``prompt`` (batch_size, P) — structure-token ids (no BOS/EOS) to
+    condition on: the sequence prefix is forced to BOS + prompt and sampling
+    continues from there (prefix completion — a framework extension; the
+    reference only samples unconditionally from BOS).  On the cached engines
+    the whole prefix is PREFILLED in one dispatch (gpt.forward_step accepts
+    multi-token blocks with a causal intra-block mask) rather than one step
+    per forced token.  Cached and uncached prompted sampling are
+    token-identical (one key split per sampled token either way).
 
     ``stop_at_eos`` exits the sampling loop as soon as EVERY row has emitted
     an EOS (``lax.while_loop`` over the same KV-cached step) — the reference
@@ -128,6 +138,24 @@ def generate(
     if int8_kv and not use_cache:
         raise ValueError("int8_kv requires use_cache=True")
 
+    # Prompt conditioning: force BOS + prompt as the sequence prefix and
+    # sample the continuation.  prompt_len counts the FORCED positions.
+    prompt_len = 0
+    if prompt is not None:
+        prompt = jnp.asarray(prompt, jnp.int32)
+        if prompt.ndim != 2 or prompt.shape[0] != batch_size:
+            raise ValueError(
+                f"prompt must be (batch_size={batch_size}, P) token ids, "
+                f"got shape {prompt.shape}"
+            )
+        prompt_len = 1 + int(prompt.shape[1])
+        if prompt_len >= num_tokens:
+            raise ValueError(
+                f"prompt of {prompt.shape[1]} tokens leaves no room to "
+                f"sample within num_tokens={num_tokens}"
+            )
+        tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 1))
+
     if not use_cache:
         def step(carry, t):
             tokens, key = carry
@@ -138,7 +166,10 @@ def generate(
             tokens = _write_at(tokens, t + 1, new_token.astype(jnp.int32))
             return (tokens, key), None
 
-        (tokens, _), _ = jax.lax.scan(step, (tokens, key), jnp.arange(num_tokens))
+        (tokens, _), _ = jax.lax.scan(
+            step, (tokens, key),
+            jnp.arange(max(prompt_len - 1, 0), num_tokens),
+        )
         return tokens
 
     # Cache dtype follows the parameter dtype: bf16 params (the fast
@@ -166,18 +197,37 @@ def generate(
         tokens = _write_at(tokens, t + 1, new_token.astype(jnp.int32))
         return (tokens, cache, key), None
 
+    def prefill(tokens, cache, key):
+        """Condition the cache on the forced prefix in ONE dispatch; the
+        prefix's last-position logits sample the first free token — the same
+        one key-split per sampled token as the step loop, so prompted cached
+        and uncached engines stay token-identical."""
+        forced = tokens[:, :prompt_len]
+        logits, cache = gpt.forward_step(
+            params, cfg, forced, cache, jnp.int32(0), mesh=mesh
+        )
+        key, sub = jax.random.split(key)
+        new_token = sampler(sub, logits)
+        tokens = _write_at(tokens, prompt_len, new_token.astype(jnp.int32))
+        return tokens, cache, key
+
     if cache_segment and not stop_at_eos:
         seg = int(cache_segment)
+        first = min(num_tokens, max(seg, -(-prompt_len // seg) * seg))
         cache = gpt.init_kv_cache(
-            cfg, batch_size, min(seg, num_tokens), mesh=mesh,
-            dtype=param_dtype, int8=int8_kv,
+            cfg, batch_size, first, mesh=mesh, dtype=param_dtype, int8=int8_kv,
         )
+        if prompt_len:
+            tokens, cache, key = prefill(tokens, cache, key)
         carry = (tokens, cache, key)
         for start in range(0, num_tokens, seg):
             end = min(start + seg, num_tokens)
-            if start:  # grow the cache to cover this segment's positions
-                tokens, cache, key = carry
-                pad = end - cache[0]["k"].shape[1]
+            lo = max(start, prompt_len)
+            if lo >= end:
+                continue
+            tokens, cache, key = carry
+            pad = end - cache[0]["k"].shape[1]
+            if pad > 0:  # grow the cache to cover this segment's positions
                 cache = [
                     {
                         # axis 1 is positions for every buffer (the int8
@@ -190,13 +240,15 @@ def generate(
                     }
                     for layer in cache
                 ]
-                carry = (tokens, cache, key)
-            carry, _ = jax.lax.scan(step, carry, jnp.arange(start, end))
+            carry = (tokens, cache, key)
+            carry, _ = jax.lax.scan(step, carry, jnp.arange(lo, end))
         return carry[0]
 
     cache = gpt.init_kv_cache(
         cfg, batch_size, num_tokens, mesh=mesh, dtype=param_dtype, int8=int8_kv
     )
+    if prompt_len:
+        tokens, cache, key = prefill(tokens, cache, key)
 
     if stop_at_eos:
         def cond(carry):
@@ -207,16 +259,19 @@ def generate(
             tokens, cache, key, t, _ = carry
             (tokens, cache, key), _ = step((tokens, cache, key), t)
             # a row is finished once any EOS appears after position 0 (BOS
-            # fill uses bos_token_id, so only sampled EOS can match)
+            # fill uses bos_token_id, so only sampled EOS can match; prompts
+            # are structure tokens and cannot contain EOS)
             done = (tokens[:, 1:] == cfg.eos_token_id).any(axis=1).all()
             return (tokens, cache, key, t + 1, done)
 
         tokens, _, _, _, _ = jax.lax.while_loop(
-            cond, body, (tokens, cache, key, jnp.int32(0), jnp.bool_(False))
+            cond, body, (tokens, cache, key, jnp.int32(prompt_len), jnp.bool_(False))
         )
         return tokens
 
-    (tokens, _, _), _ = jax.lax.scan(step, (tokens, cache, key), jnp.arange(num_tokens))
+    (tokens, _, _), _ = jax.lax.scan(
+        step, (tokens, cache, key), jnp.arange(prompt_len, num_tokens)
+    )
     return tokens
 
 

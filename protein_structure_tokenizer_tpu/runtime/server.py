@@ -380,6 +380,11 @@ class InferenceServer:
         opts = {**self.sampling_defaults, **payload}
         num = int(opts.get("num_sequences", 1))
         seed = int(opts.get("seed", time.time_ns() % (1 << 31)))
+        prompt = opts.get("prompt")  # flat list of structure-token ids
+        if prompt is not None:
+            prompt = np.tile(
+                np.asarray(prompt, np.int32).reshape(1, -1), (num, 1)
+            )
         toks = sampling.generate(
             self.gpt_params,
             self.gpt_config,
@@ -394,6 +399,8 @@ class InferenceServer:
             # int8 KV cache (cli.serve --gpt_int8 sets the default; see
             # lm/quant.py for the weight half of the recipe)
             int8_kv=bool(opts.get("int8_kv", False)),
+            # prefix completion: every sampled row continues the prompt
+            prompt=prompt,
             temperature=float(opts.get("temperature", 0.6)),
             k=int(opts.get("top_k", 4)),
             top_p=float(opts.get("top_p", 0.15)),

@@ -383,3 +383,65 @@ def test_int8_kv_cache():
     )
     assert toks.shape == (2, 12)
     assert ((toks >= 0) & (toks < SMALL.vocab_size)).all()
+
+
+def test_prompted_generation():
+    """Prefix-conditioned sampling: the forced BOS+prompt prefix survives in
+    the output, cached == uncached token-identical, the segmented and
+    stop_at_eos engines agree on the prefix, and the prefill block's logits
+    equal per-token stepping."""
+    params = gpt.init(jax.random.PRNGKey(2), SMALL)
+    rng = np.random.RandomState(21)
+    prompt = jnp.asarray(rng.randint(0, 32, size=(2, 5)), jnp.int32)
+    key = jax.random.PRNGKey(11)
+
+    cached = np.asarray(sampling.generate(
+        params, SMALL, key, batch_size=2, num_tokens=14,
+        method="temperature", temperature=0.7, prompt=prompt,
+    ))
+    # forced prefix: BOS then the prompt tokens
+    assert (cached[:, 0] == SMALL.bos_token_id).all()
+    np.testing.assert_array_equal(cached[:, 1:6], np.asarray(prompt))
+
+    uncached = np.asarray(sampling.generate(
+        params, SMALL, key, batch_size=2, num_tokens=14,
+        method="temperature", temperature=0.7, prompt=prompt, use_cache=False,
+    ))
+    np.testing.assert_array_equal(cached, uncached)
+
+    segmented = np.asarray(sampling.generate(
+        params, SMALL, key, batch_size=2, num_tokens=14,
+        method="temperature", temperature=0.7, prompt=prompt, cache_segment=4,
+    ))
+    np.testing.assert_array_equal(cached, segmented)
+
+    eos = np.asarray(sampling.generate(
+        params, SMALL, key, batch_size=2, num_tokens=14,
+        method="temperature", temperature=0.7, prompt=prompt, stop_at_eos=True,
+    ))
+    np.testing.assert_array_equal(eos[:, :6], cached[:, :6])
+
+    # Prefill logits == one-token-at-a-time stepping through the prefix.
+    forced = np.concatenate(
+        [np.full((2, 1), SMALL.bos_token_id, np.int32), np.asarray(prompt)], axis=1
+    )
+    cache_a = gpt.init_kv_cache(SMALL, 2, 6)
+    logits_a, _ = gpt.forward_step(
+        params, SMALL, jnp.asarray(forced), cache_a, jnp.int32(0)
+    )
+    cache_b = gpt.init_kv_cache(SMALL, 2, 6)
+    for t in range(6):
+        logits_b, cache_b = gpt.forward_step(
+            params, SMALL, jnp.asarray(forced[:, t : t + 1]), cache_b, jnp.asarray(t)
+        )
+    np.testing.assert_allclose(
+        np.asarray(logits_a), np.asarray(logits_b), atol=2e-5, rtol=0
+    )
+
+    # Validation errors
+    with pytest.raises(ValueError):
+        sampling.generate(params, SMALL, key, batch_size=2, num_tokens=5,
+                          prompt=jnp.zeros((2, 6), jnp.int32))
+    with pytest.raises(ValueError):
+        sampling.generate(params, SMALL, key, batch_size=2, num_tokens=14,
+                          prompt=jnp.zeros((3, 2), jnp.int32))

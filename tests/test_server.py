@@ -269,3 +269,33 @@ def test_generate_endpoint_int8(served):
     finally:
         server.gpt_params = server.gpt_config = None
         server.sampling_defaults = {}
+
+
+def test_generate_endpoint_prompted(served):
+    """POST /generate with a prompt: every returned row continues the
+    forced prefix (prefix completion)."""
+    from protein_structure_tokenizer_tpu.lm import gpt
+
+    cfg, runner, engine, server = served
+    gcfg = gpt.GptConfig(
+        vocab_size=20, embed_dim=32, ffn_embed_dim=64, num_heads=4,
+        num_layers=1, rope_dimensions=8, max_position_embeddings=12,
+        bos_token_id=17, eos_token_id=18, pad_token_id=19,
+    )
+    server.gpt_config = gcfg
+    server.gpt_params = gpt.init(jax.random.PRNGKey(0), gcfg)
+    try:
+        status, data = _post(
+            server.port, "/generate",
+            json.dumps({
+                "num_sequences": 2, "num_tokens": 10, "seed": 3,
+                "prompt": [4, 9, 2], "stop_at_eos": False,
+            }).encode(),
+        )
+        assert status == 200, data
+        out = json.loads(data)
+        assert len(out["tokens"]) == 2
+        for row in out["tokens"]:
+            assert row[:3] == [4, 9, 2]  # stripped rows keep the prompt
+    finally:
+        server.gpt_params = server.gpt_config = None
