@@ -9,6 +9,7 @@ umbrella command so an installed package exposes the whole surface:
     pst tokenize  --pdb_dir ... --token_save_path ...
     pst decode    --tokens_dir ... --structure_save_path ...
     pst generate  --save_dir ...
+    pst score     --tokens_dir ...
     pst data-pipeline --input ...
     pst evaluate  --predicted_dir ... --target_dir ...
     pst train / pst train-lm / pst serve
@@ -20,6 +21,7 @@ COMMANDS = {
     "tokenize": ("tokenize_pdb", "PDB directory -> token .npy files"),
     "decode": ("decode_tokens", "token .npy files -> PDB structures"),
     "generate": ("gpt_generation", "sample novel token sequences from the GPT"),
+    "score": ("score_tokens", "LM log-likelihood / perplexity of token files"),
     "data-pipeline": ("data_pipeline", "standalone parse/validate/featurize pipeline"),
     "evaluate": ("evaluate", "structural metrics between PDB directories"),
     "train": ("train", "train the structure tokenizer (FAPE)"),

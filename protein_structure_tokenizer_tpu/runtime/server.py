@@ -347,6 +347,9 @@ class InferenceServer:
                     elif self.path == "/generate":
                         payload = json.loads(body) if body else {}
                         self._send_json(200, server._generate(payload))
+                    elif self.path == "/score":
+                        payload = json.loads(body) if body else {}
+                        self._send_json(200, server._score(payload))
                     else:
                         self._send_json(404, {"error": f"unknown path {self.path}"})
                 except Exception as e:  # noqa: BLE001 — per-request isolation
@@ -369,6 +372,27 @@ class InferenceServer:
                 decode_out["final_atom_positions"], decode_out["final_atom_mask"]
             )
         )
+
+    def _score(self, payload: dict) -> dict:
+        """LM log-likelihood / perplexity of token rows (lm.scoring):
+        ``{"sequences": [[...], ...]}`` — raw structure-token rows, framed
+        BOS+row+EOS server-side."""
+        if self.gpt_params is None:
+            raise ValueError("server started without GPT weights (--gpt_weights)")
+        from protein_structure_tokenizer_tpu.lm import scoring
+
+        rows = payload.get("sequences")
+        if not rows:
+            raise ValueError('payload must carry {"sequences": [[token ids], ...]}')
+        framed = scoring.frame_rows(
+            [np.asarray(r, np.int32) for r in rows], self.gpt_config
+        )
+        out = scoring.score_sequences(self.gpt_params, self.gpt_config, framed)
+        return {
+            "log_likelihood": np.asarray(out["log_likelihood"]).tolist(),
+            "perplexity": np.asarray(out["perplexity"]).tolist(),
+            "num_scored": np.asarray(out["num_scored"]).astype(int).tolist(),
+        }
 
     def _generate(self, payload: dict) -> dict:
         if self.gpt_params is None:

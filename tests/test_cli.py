@@ -13,6 +13,7 @@ CLIS = [
     "tokenize_pdb",
     "decode_tokens",
     "gpt_generation",
+    "score_tokens",
     "data_pipeline",
     "evaluate",
     "train",

@@ -299,3 +299,34 @@ def test_generate_endpoint_prompted(served):
             assert row[:3] == [4, 9, 2]  # stripped rows keep the prompt
     finally:
         server.gpt_params = server.gpt_config = None
+
+
+def test_score_endpoint(served):
+    """POST /score: per-row LM log-likelihood / perplexity (lm.scoring)."""
+    from protein_structure_tokenizer_tpu.lm import gpt
+
+    cfg, runner, engine, server = served
+    gcfg = gpt.GptConfig(
+        vocab_size=20, embed_dim=32, ffn_embed_dim=64, num_heads=4,
+        num_layers=1, rope_dimensions=8, max_position_embeddings=12,
+        bos_token_id=17, eos_token_id=18, pad_token_id=19,
+    )
+    server.gpt_config = gcfg
+    server.gpt_params = gpt.init(jax.random.PRNGKey(0), gcfg)
+    try:
+        status, data = _post(
+            server.port, "/score",
+            json.dumps({"sequences": [[3, 8, 1], [5]]}).encode(),
+        )
+        assert status == 200, data
+        out = json.loads(data)
+        assert len(out["log_likelihood"]) == 2
+        assert out["num_scored"] == [4, 2]
+        assert all(v < 0 for v in out["log_likelihood"])
+        assert all(v > 1 for v in out["perplexity"])
+
+        # missing payload rejected per-request
+        status, data = _post(server.port, "/score", b"{}")
+        assert status == 400
+    finally:
+        server.gpt_params = server.gpt_config = None
