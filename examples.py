@@ -210,6 +210,52 @@ def example_8_serving():
         server.close()
 
 
+def example_9_quantized_prompted_lm():
+    """Production LM serving recipes: the int8 quantized sampling path
+    (int8 matmul weights + int8 KV cache), prefix completion (condition on
+    an existing token prefix), and LM scoring (rank sequences by model
+    likelihood)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from protein_structure_tokenizer_tpu.lm import gpt, quant, sampling, scoring
+    from protein_structure_tokenizer_tpu.runtime.precision import cast_floats
+
+    gcfg = dataclasses.replace(
+        gpt.released_gpt_config(432),
+        num_layers=2, embed_dim=32, ffn_embed_dim=128, num_heads=4,
+        max_position_embeddings=16,
+    )
+    params = gpt.init(jax.random.PRNGKey(0), gcfg)
+
+    # int8 serving transform: bf16 activations, fused qkv, int8 weights
+    # (cli.gpt_generation --int8 --int8_kv / cli.serve --gpt_int8)
+    qparams = quant.quantize_gpt_params_int8(
+        gpt.fuse_qkv_params(cast_floats(params, jnp.bfloat16), gcfg)
+    )
+
+    # prefix completion: every row continues BOS + prompt
+    prompt = jnp.asarray([[5, 17, 101]], jnp.int32)
+    seqs = sampling.generate(
+        qparams, gcfg, jax.random.PRNGKey(3), batch_size=1, num_tokens=12,
+        method="top_k", k=8, temperature=0.8, prompt=prompt, int8_kv=True,
+    )
+    row = np.asarray(seqs)[0]
+    assert (row[1:4] == [5, 17, 101]).all()
+
+    # score candidate sequences by LM likelihood (pst score / POST /score)
+    framed = scoring.frame_rows(
+        [row[1:8], np.asarray([2, 2, 2], np.int32)], gcfg
+    )
+    scores = scoring.score_sequences(qparams, gcfg, jnp.asarray(framed))
+    ll = np.asarray(scores["log_likelihood"])
+    print(f"[9] int8 prompted sample {row[:8].tolist()}..., "
+          f"log-likelihoods {ll.round(1).tolist()} "
+          f"(perplexity {np.asarray(scores['perplexity']).round(1).tolist()})")
+
+
 EXAMPLES = [
     example_1_basic_usage,
     example_2_custom_config,
@@ -219,6 +265,7 @@ EXAMPLES = [
     example_6_tokenize_roundtrip,
     example_7_lm_workflow,
     example_8_serving,
+    example_9_quantized_prompted_lm,
 ]
 
 
