@@ -445,3 +445,26 @@ def test_prompted_generation():
     with pytest.raises(ValueError):
         sampling.generate(params, SMALL, key, batch_size=2, num_tokens=14,
                           prompt=jnp.zeros((3, 2), jnp.int32))
+
+
+def test_prompted_int8_segmented_combination():
+    """All serving options composed: prompt prefill + int8 KV cache +
+    segmented growth + int8 weights — prefix preserved, ids valid."""
+    from protein_structure_tokenizer_tpu.lm import quant
+    from protein_structure_tokenizer_tpu.runtime.precision import cast_floats
+
+    params = quant.quantize_gpt_params_int8(
+        gpt.fuse_qkv_params(
+            cast_floats(gpt.init(jax.random.PRNGKey(3), SMALL), jnp.bfloat16),
+            SMALL,
+        )
+    )
+    prompt = jnp.asarray([[3, 30, 12], [8, 1, 25]], jnp.int32)
+    toks = np.asarray(sampling.generate(
+        params, SMALL, jax.random.PRNGKey(6), batch_size=2, num_tokens=15,
+        method="temperature", temperature=0.9, prompt=prompt,
+        cache_segment=4, int8_kv=True,
+    ))
+    assert (toks[:, 0] == SMALL.bos_token_id).all()
+    np.testing.assert_array_equal(toks[:, 1:4], np.asarray(prompt))
+    assert ((toks >= 0) & (toks < SMALL.vocab_size)).all()
