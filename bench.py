@@ -565,7 +565,15 @@ def bench_generate():
     )
     params = jax.device_put(params)
     n_chips = len(jax.devices())
-    seg_of = lambda batch: 64 if batch <= 32 else 128
+    # KV-segment optima from same-run A/Bs (docs/PERFORMANCE.md): bf16 wants
+    # seg=64 at every batch (B=128: 19.3k vs 17.6k at seg=128); int8 flips —
+    # the halved cache traffic makes segment-boundary overhead dominate at
+    # small batch (B=16: 8.3k at seg=128 vs 7.4k at 64) while large batch
+    # stays traffic-bound (B=128: 29.0k at seg=64 vs 26.6k at 128).
+    def seg_of(batch, int8_kv=False):
+        if int8_kv:
+            return 128 if batch <= 32 else 64
+        return 64
 
     def measure(batch, params_arg=None, int8_kv=False):
         pp = params if params_arg is None else params_arg
@@ -575,7 +583,8 @@ def bench_generate():
         lowered = jax.jit(
             lambda p, k: sampling.generate(
                 p, cfg, k, batch, cfg.max_position_embeddings,
-                use_cache=True, cache_segment=seg_of(batch), int8_kv=int8_kv,
+                use_cache=True, cache_segment=seg_of(batch, int8_kv),
+                int8_kv=int8_kv,
             )
         ).lower(pp, jax.random.PRNGKey(1))
         try:

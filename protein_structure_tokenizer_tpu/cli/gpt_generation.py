@@ -99,8 +99,11 @@ def main(argv=None) -> None:
                              "serving recipe")
     parser.add_argument("--cache_segment", type=int, default=None,
                         help="grow the KV cache in this many-step segments "
-                             "instead of allocating the full block (cuts "
-                             "average cache traffic ~40%% at block/8)")
+                             "instead of allocating the full block.  "
+                             "Measured optima on a v5e at the released "
+                             "size: 64 for bf16 (any batch) and int8 at "
+                             "large batch; 128 for int8 at batch <= 32 "
+                             "(docs/PERFORMANCE.md)")
     parser.add_argument("--no_cache", action="store_true",
                         help="reference-equivalent full-forward sampling")
     parser.add_argument("--backend", type=str, default=None,

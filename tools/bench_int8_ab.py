@@ -33,7 +33,8 @@ def note(msg):
 
 
 def measure(params, cfg, batch, windows=5, iters=3, int8_kv=False):
-    seg = 64 if batch <= 32 else 128
+    # per-recipe segment optima (docs/PERFORMANCE.md KV-segment re-tune)
+    seg = (128 if batch <= 32 else 64) if int8_kv else 64
     lowered = jax.jit(
         lambda p, k: sampling.generate(
             p, cfg, k, batch, cfg.max_position_embeddings,
