@@ -30,6 +30,7 @@ from protein_structure_tokenizer_tpu.models.layers import (
     norm_init,
 )
 from protein_structure_tokenizer_tpu.parallel import cp
+from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
 from protein_structure_tokenizer_tpu.utils.params import Params, subtree, with_prefix
 
 
@@ -66,6 +67,7 @@ def invariant_point_attention(
     *,
     exact: bool = False,
     attention_2d: Optional[jax.Array] = None,  # pre-scaled logits-layout (B, h, N, N)
+    use_pallas: bool | None = None,
     mesh=None,
 ) -> jax.Array:
     """IPA.  ``exact=True`` reproduces the reference's broadcast-subtract
@@ -143,8 +145,7 @@ def invariant_point_attention(
         # over sqk + 3*pqk dims; the remaining |q|^2/|k|^2 terms are rank-1
         # row/column biases that fuse into the softmax elementwise pass —
         # halves the (B, h, N, N) HBM intermediates vs two separate einsums.
-        qn = jnp.sum(qp * qp, axis=(-1, -2))  # (B, h, N)
-        kn = jnp.sum(kp * kp, axis=(-1, -2))
+        kn = jnp.sum(kp * kp, axis=(-1, -2))  # (B, h, N)
         sqrt_hw = jnp.sqrt(head_point_weights)[None, :, None, None]  # (1,h,1,1)
         q_cat = jnp.concatenate(
             [q.astype(f32), (sqrt_hw * qp.reshape(qp.shape[:3] + (-1,)))], axis=-1
@@ -156,33 +157,65 @@ def invariant_point_attention(
             "bhqc,bhkc->bhqk", q_cat, k_cat, preferred_element_type=f32
         )
         hw = head_point_weights[None, :, None]  # (1, h, 1)
-        attn_logits = (
-            attn_logits
-            - (0.5 * hw * qn)[..., :, None]
-            - (0.5 * hw * kn)[..., None, :]
-        )
 
     if attention_2d is None:
         a2 = af2_linear(p["attention_2d"], inputs_2d)  # (B, N, N, h)
         attention_2d = attention_2d_weights * jnp.transpose(a2, (0, 3, 1, 2))
-    attn_logits = attn_logits + attention_2d.astype(f32)
 
-    mask_2d = (mask * jnp.swapaxes(mask, -1, -2)).astype(f32)  # (B, N, N)
-    attn_logits = attn_logits - 1e5 * (1.0 - mask_2d[:, None])
-
-    # Context parallelism (parallel/cp.py): query rows sharded over "ctx",
-    # keys axis whole — each row's softmax is complete on its chip.
-    attn_logits = cp.constrain(attn_logits, mesh, cp.LOGITS_SPEC)
-    attn = jax.nn.softmax(attn_logits)  # (B, h, Nq, Nk) f32
-
-    # On TPU the consumer matmuls truncate their operands to bf16 anyway (XLA
-    # DEFAULT precision) — storing the softmax output bf16 is bit-identical
-    # math with HALF the HBM traffic for the two value contractions (the
-    # probabilities tensor is written once as bf16 and read twice).  CPU
-    # keeps f32 (its einsums are true f32, so a cast would CHANGE results
-    # and the pinned tolerances of the parity suites).
     bf16_attn = (not exact) and jax.default_backend() == "tpu"
-    attn_rd = attn.astype(jnp.bfloat16) if bf16_attn else attn
+    # The kernel engages on the bf16 compute-policy path ONLY: the default
+    # f32 fast path keeps the jnp chain so its documented ~1e-4 proximity to
+    # exact mode is untouched (the kernel's dropped row bias is softmax-
+    # invariant but perturbs f32 rounding at ~1e-7/entry, which the 8
+    # chaotic fold iterations amplify — acceptable inside the bf16 path's
+    # pinned tolerance band, not on the conformance-adjacent f32 path).
+    fused_softmax = (
+        bf16_attn
+        and in_dtype != f32
+        and bool(use_pallas)
+        and mesh_lib.single_device(mesh)
+        and num_res % 8 == 0
+    )
+    if fused_softmax:
+        # Single-pass Pallas softmax (ops/softmax_kernels.py).  Softmax is
+        # invariant to per-ROW additive constants, so the |q|^2 row bias and
+        # the mask's row component drop out entirely (masked query rows
+        # change value but stay row-local and are masked at the output); the
+        # remaining column terms fold into one (B, h, Nk) bias.
+        from protein_structure_tokenizer_tpu.ops import softmax_kernels
+
+        col_bias = -(0.5 * hw) * kn - 1e5 * (1.0 - mask[..., 0][:, None, :])
+        attn, attn_rd = softmax_kernels.fused_ipa_softmax(
+            attn_logits, col_bias, attention_2d, emit_f32=True
+        )
+    else:
+        if not exact:
+            # rank-1 |q|^2 / |k|^2 biases of the fused-logit form (the exact
+            # branch's broadcast-subtract formula already carries them)
+            attn_logits = (
+                attn_logits
+                - (0.5 * hw * jnp.sum(qp * qp, axis=(-1, -2)))[..., :, None]
+                - (0.5 * hw * kn)[..., None, :]
+            )
+        attn_logits = attn_logits + attention_2d.astype(f32)
+
+        mask_2d = (mask * jnp.swapaxes(mask, -1, -2)).astype(f32)  # (B, N, N)
+        attn_logits = attn_logits - 1e5 * (1.0 - mask_2d[:, None])
+
+        # Context parallelism (parallel/cp.py): query rows sharded over
+        # "ctx", keys axis whole — each row's softmax is complete on its
+        # chip.
+        attn_logits = cp.constrain(attn_logits, mesh, cp.LOGITS_SPEC)
+        attn = jax.nn.softmax(attn_logits)  # (B, h, Nq, Nk) f32
+
+        # On TPU the consumer matmuls truncate their operands to bf16 anyway
+        # (XLA DEFAULT precision) — storing the softmax output bf16 is
+        # bit-identical math with HALF the HBM traffic for the two value
+        # contractions (the probabilities tensor is written once as bf16 and
+        # read twice).  CPU keeps f32 (its einsums are true f32, so a cast
+        # would CHANGE results and the pinned tolerances of the parity
+        # suites).
+        attn_rd = attn.astype(jnp.bfloat16) if bf16_attn else attn
 
     vp = jnp.transpose(v_point, (0, 3, 1, 4, 2))  # (B, h, N, P, 3) f32
     if exact:
@@ -328,6 +361,7 @@ def fold_iteration(
     *,
     exact: bool = False,
     attention_2d: Optional[jax.Array] = None,
+    use_pallas: bool | None = None,
     mesh=None,
 ) -> tuple[dict, dict]:
     affine = QuatRigid.from_tensor(activations["affine"])
@@ -342,6 +376,7 @@ def fold_iteration(
         affine,
         exact=exact,
         attention_2d=attention_2d,
+        use_pallas=use_pallas,
         mesh=mesh,
     )
     act = act + attn
@@ -381,8 +416,14 @@ def structure_module(
     sequence_mask: jax.Array,  # (B, N, 1)
     *,
     exact: bool = False,
+    use_pallas: bool | None = None,
     mesh=None,
 ) -> dict:
+    # Same defaulting as models/gnn.py: the fused-softmax kernel engages on
+    # TPU unless the caller opted out (training paths pass False — no VJP).
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
     act = layer_norm(params["single_layer_norm"], representations["single"])
     initial_act = act
     act = af2_linear(params["initial_projection"], act)
@@ -433,7 +474,8 @@ def structure_module(
     def step(carry, _):
         new_carry, out = fold_iteration(
             fold_params, cfg, carry, sequence_mask, initial_act, feat_2d_scan,
-            exact=exact, attention_2d=attention_2d, mesh=mesh,
+            exact=exact, attention_2d=attention_2d, use_pallas=use_pallas,
+            mesh=mesh,
         )
         return new_carry, out
 

@@ -429,6 +429,7 @@ def decode_and_make_structure(
         features,
         nodes_mask,
         exact=exact_ipa,
+        use_pallas=use_pallas,
         mesh=mesh,
     )
 
@@ -491,6 +492,7 @@ def forward(
         batch.features,
         graph.nodes_mask,
         exact=exact_ipa,
+        use_pallas=use_pallas,
         mesh=mesh,
     )
     return decoded, out

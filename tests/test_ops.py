@@ -149,3 +149,97 @@ def test_gather_rows_vjp_matches_take_along_axis_grad():
     np.testing.assert_allclose(
         np.asarray(g_kernel), np.asarray(g_ref), rtol=1e-6, atol=1e-6
     )
+
+
+def test_fused_ipa_softmax_matches_jnp():
+    """ops/softmax_kernels.fused_ipa_softmax (interpret mode): identical to
+    the jnp softmax chain on VALID query rows (the dropped |q|^2 row bias
+    and row-mask component are softmax-invariant); masked query rows may
+    differ but are row-local and masked downstream."""
+    import jax
+    import jax.numpy as jnp
+
+    from protein_structure_tokenizer_tpu.ops.softmax_kernels import (
+        fused_ipa_softmax,
+    )
+
+    rng = np.random.RandomState(5)
+    B, H, N = 2, 3, 64
+    logits = jnp.asarray(rng.randn(B, H, N, N).astype(np.float32) * 3)
+    kn_bias = jnp.asarray((rng.rand(B, H, N) * 5).astype(np.float32))
+    mask = (rng.rand(B, N) > 0.2).astype(np.float32)
+    col_bias = -kn_bias - 1e5 * (1 - mask)[:, None, :]
+    a2 = jnp.asarray(rng.randn(B, H, N, N).astype(np.float32)).astype(jnp.bfloat16)
+    row_bias = jnp.asarray((rng.rand(B, H, N, 1) * 5).astype(np.float32))
+
+    f32p, bf16p = fused_ipa_softmax(
+        logits, col_bias, a2, emit_f32=True, interpret=True
+    )
+    assert f32p.dtype == jnp.float32 and bf16p.dtype == jnp.bfloat16
+
+    # the full jnp chain the kernel replaces, INCLUDING the dropped row
+    # terms (row bias + the mask's row component)
+    mask2d = (mask[:, :, None] * mask[:, None, :])[:, None]
+    ref = jax.nn.softmax(
+        logits - row_bias - kn_bias[:, :, None, :] - 1e5 * (1 - mask2d)
+        + a2.astype(jnp.float32),
+        axis=-1,
+    )
+    err = np.abs(np.asarray(f32p, np.float64) - np.asarray(ref, np.float64))
+    valid_rows = np.asarray(mask, bool)[:, None, :, None]
+    assert (err * valid_rows).max() < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(f32p).sum(-1), 1.0, atol=1e-5
+    )  # masked rows are still normalized distributions
+    # bf16 copy is the f32 result rounded
+    np.testing.assert_array_equal(
+        np.asarray(bf16p), np.asarray(f32p.astype(jnp.bfloat16))
+    )
+
+    # f32 output suppressed on request (the all-f32 path)
+    none_out, only_bf16 = fused_ipa_softmax(
+        logits, col_bias, a2, emit_f32=False, interpret=True
+    )
+    assert none_out is None
+    np.testing.assert_array_equal(np.asarray(only_bf16), np.asarray(bf16p))
+
+
+def test_structure_module_fused_softmax_gate():
+    """The fused-softmax kernel must not engage on CPU / f32 / exact paths —
+    structure_module outputs are identical with use_pallas True/False here
+    (the gate requires a TPU backend and a bf16 stream)."""
+    import jax
+    import jax.numpy as jnp
+
+    from protein_structure_tokenizer_tpu.models.structure_module import (
+        StructureModuleConfig,
+        structure_module,
+        structure_module_init,
+    )
+
+    cfg = StructureModuleConfig(
+        num_layer=2, num_channel=32, num_head=2, num_point_qk=2,
+        num_point_v=3, num_scalar_qk=4, num_scalar_v=4,
+        pair_channel=8, single_channel=16,
+        sidechain=__import__(
+            "protein_structure_tokenizer_tpu.models.structure_module",
+            fromlist=["SidechainConfig"],
+        ).SidechainConfig(num_channel=16, num_residual_block=1),
+    )
+    params = structure_module_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    B, N = 2, 16
+    reps = {
+        "single": jnp.asarray(rng.randn(B, N, 16).astype(np.float32)),
+        "pair": jnp.asarray(rng.randn(B, N, N, 8).astype(np.float32)),
+    }
+    feats = {
+        "aatype": jnp.asarray(np.eye(21, dtype=np.float32)[rng.randint(0, 20, (B, N))]),
+        "atom37_gt_exists": jnp.ones((B, N, 37), jnp.float32),
+    }
+    mask = jnp.ones((B, N, 1), jnp.float32)
+    a = structure_module(params, cfg, reps, feats, mask, use_pallas=True)
+    b = structure_module(params, cfg, reps, feats, mask, use_pallas=False)
+    np.testing.assert_array_equal(
+        np.asarray(a["final_atom_positions"]), np.asarray(b["final_atom_positions"])
+    )
