@@ -239,8 +239,17 @@ def invariant_point_attention(
             result_point_flat.shape[:3] + (pv, 3)
         )
     else:
+        # The scalar contraction reads the already-materialized bf16
+        # probability copy when one exists (attn.astype(bf16) == attn_rd
+        # exactly, but spelling it as a cast makes XLA re-read the 2x-larger
+        # f32 tensor and convert in-fusion); the point aggregation keeps the
+        # f32 copy (geometry policy).
+        scalar_attn = (
+            attn_rd if (bf16_attn and in_dtype == jnp.bfloat16)
+            else attn.astype(in_dtype)
+        )
         result_scalar = jnp.einsum(
-            "bhqk,bhkc->bhqc", attn.astype(in_dtype), v, preferred_element_type=f32
+            "bhqk,bhkc->bhqc", scalar_attn, v, preferred_element_type=f32
         ).astype(in_dtype)
         result_point_global = jnp.einsum(
             "bhqk,bhkpc->bhqpc", attn, vp, preferred_element_type=jnp.float32
