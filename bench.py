@@ -72,10 +72,12 @@ BASELINE_CACHE = os.path.join(REPO_ROOT, "bench_baseline.json")
 # batches in a sub-512 bucket.
 SUB_BATCH = int(os.environ.get("PST_BENCH_SUB_BATCH", "64"))  # rows/dispatch
 BATCH = int(os.environ.get("PST_BENCH_BATCH", "256"))  # total rows
-# 32 rows/dispatch: bf16 admits B=64 in HBM (the f32 pair tensor capped B
-# at 32) but measures SLOWER there — same-run A/B (tools/bench_decode_ab.py):
-# bf16 85.3k res/s @B=32 vs 71.8k @B=64 vs 62.0k f32 @B=32.
-DECODE_SUB = int(os.environ.get("PST_BENCH_DECODE_SUB", "32"))
+# 64 rows/dispatch at the 512 bucket: bf16 admits B=64 in HBM (the f32 pair
+# tensor capped B at 32), and since the fused IPA-softmax kernel landed the
+# same-run A/B flipped in its favor — 113.9k res/s @B=64 vs 110.6k @B=32
+# (it had measured SLOWER pre-kernel: 71.8k vs 85.3k).  Larger dispatches
+# also amortize the ~25-50 ms tunnel latency better at every bucket.
+DECODE_SUB = int(os.environ.get("PST_BENCH_DECODE_SUB", "64"))
 DECODE_BATCHES = 4
 TIMED_ITERS = int(os.environ.get("PST_BENCH_ITERS", "3"))
 # The tunneled chip's delivered throughput swings ~2x run to run (same code,
@@ -341,10 +343,10 @@ def bench_decode(lengths):
 
     The bench decode runs the SHIPPING fast configuration: bf16 pair track
     (the f32 pair tensor is the HBM bound — bf16 halves the traffic; +38%
-    in the same-run A/B) at B=DECODE_SUB=32 rows per dispatch (B=64 fits
-    under bf16 but measures slower — see DECODE_SUB above).  Coordinate
-    drift vs f32 is pinned per bucket in tests/test_precision.py; the
-    conformance/CLI default stays full f32.
+    in the same-run A/B) with the fused IPA-softmax kernel at
+    B=DECODE_SUB=64 rows per 512 dispatch (adaptive: more rows at shorter
+    buckets).  Coordinate drift vs f32 is pinned per bucket in
+    tests/test_precision.py; the conformance/CLI default stays full f32.
     """
     import jax
     import jax.numpy as jnp
