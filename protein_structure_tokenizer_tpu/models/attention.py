@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from protein_structure_tokenizer_tpu.models.layers import (
+    layer_norm_fast,
     af2_linear,
     af2_linear_init_leaves,
     layer_norm,
@@ -122,16 +123,22 @@ def cross_attention_init(key, cfg: AttentionConfig, q_dim: int, m_dim: int) -> P
 
 
 def transition(
-    p: Params, cfg: TransitionConfig, act: jax.Array, *, one_pass_ln: bool = False
+    p: Params, cfg: TransitionConfig, act: jax.Array, *, one_pass_ln: bool = False,
+    ln_pallas: bool = False,
 ) -> jax.Array:
     """AF2 MSATransition: LN -> Linear(relu) -> relu -> Linear.
 
     ``one_pass_ln`` uses single-read LN statistics (fast path for HBM-bound
-    pair tensors; exact paths keep the reference's two-pass form)."""
+    pair tensors; exact paths keep the reference's two-pass form);
+    ``ln_pallas`` additionally selects the single-pass Pallas LN for bf16
+    tensors (ops/ln_kernels.py; caller gates on TPU + single-device)."""
 
     def body(x):
-        ln = layer_norm_1pass if one_pass_ln else layer_norm
-        x = ln(p["input_layer_norm"], x)
+        if one_pass_ln and ln_pallas:
+            x = layer_norm_fast(p["input_layer_norm"], x, use_pallas=True)
+        else:
+            ln = layer_norm_1pass if one_pass_ln else layer_norm
+            x = ln(p["input_layer_norm"], x)
         x = af2_linear(p["transition1"], x)
         x = jax.nn.relu(x)
         return af2_linear(p["transition2"], x)

@@ -134,6 +134,23 @@ def layer_norm_1pass(p: Leaves, x: jax.Array, *, eps: float = 1e-5) -> jax.Array
     return inv * (x - mean) + p["offset"]
 
 
+def layer_norm_fast(
+    p: Leaves, x: jax.Array, *, eps: float = 1e-5, use_pallas: bool = False
+) -> jax.Array:
+    """``layer_norm_1pass`` with an optional Pallas single-pass kernel for
+    big bf16 tensors (ops/ln_kernels.py: one HBM read+write instead of a
+    separate moments reduce + normalize pass).  Callers gate ``use_pallas``
+    on TPU + single-device mesh; anything the kernel cannot tile falls back
+    to the jnp one-pass path."""
+    if use_pallas and x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+        from protein_structure_tokenizer_tpu.ops import ln_kernels
+
+        out = ln_kernels.fused_layer_norm(x, p["scale"], p["offset"], eps=eps)
+        if out is not None:
+            return out
+    return layer_norm_1pass(p, x, eps=eps)
+
+
 def rms_norm(p: Leaves, x: jax.Array, *, eps: float = 1e-6) -> jax.Array:
     var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
     return x * p["scale"] * jax.lax.rsqrt(var + eps)

@@ -21,6 +21,7 @@ from protein_structure_tokenizer_tpu.models.attention import (
 )
 from protein_structure_tokenizer_tpu.models.layers import (
     af2_linear,
+    layer_norm_fast,
     af2_linear_init_leaves,
     layer_norm,
     layer_norm_1pass,
@@ -52,7 +53,7 @@ class SeqDecoderConfig:
 
 def pairwise_representation(
     p: Params, cfg: PairRepConfig, x: jax.Array, mask: jax.Array,
-    *, one_pass_ln: bool = False, mesh=None,
+    *, one_pass_ln: bool = False, ln_pallas: bool = False, mesh=None,
 ) -> jax.Array:
     """Outer-product pair init (AF2 alg.10 flavor).
 
@@ -73,6 +74,10 @@ def pairwise_representation(
 
     residual = af2_linear(p["right_projection_1"], outer)
     if cfg.lnormalisation:
+        if one_pass_ln and ln_pallas:
+            return layer_norm_fast(
+                p["layer_norm_output"], pair + residual, use_pallas=True
+            )
         ln = layer_norm_1pass if one_pass_ln else layer_norm
         return ln(p["layer_norm_output"], pair + residual)
     return pair + residual
@@ -124,9 +129,11 @@ def sequence_decoder(
     # −18% at bf16 B=32 and −11% at bf16 B=64 (round-4 same-run A/B,
     # tools/bench_decode_ab.py).  The XLA pair chain is HBM-roofline-bound
     # with bf16-fed matmuls; the fusion had no traffic left to remove.
-    # ``use_pallas`` is accepted (and ignored) so vq3d can thread one flag
-    # to both the GNN kernels (a 2x WIN, models/gnn.py) and here.
-    del use_pallas
+    # ``use_pallas`` here selects the single-pass Pallas LN for the two
+    # pair-track LayerNorms (ops/ln_kernels.py; bf16 single-device TPU).
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    ln_pallas = bool(use_pallas) and mesh_lib.single_device(mesh)
 
     pair = pairwise_representation(
         subtree(params, "pairwise_representation"),
@@ -134,6 +141,7 @@ def sequence_decoder(
         single_emb,
         nodes_mask,
         one_pass_ln=not exact,
+        ln_pallas=ln_pallas,
         mesh=mesh,
     )
 
@@ -159,7 +167,7 @@ def sequence_decoder(
     pair = cp.constrain(pair, mesh, cp.PAIR_SPEC)
     pair = transition(
         subtree(params, "pair_transition_init"), cfg.pair_transition, pair,
-        one_pass_ln=not exact,
+        one_pass_ln=not exact, ln_pallas=ln_pallas,
     )
     pair = cp.constrain(pair, mesh, cp.PAIR_SPEC)
     return single_emb, pair

@@ -27,6 +27,7 @@ from protein_structure_tokenizer_tpu.models.layers import (
     af2_linear_init_leaves,
     layer_norm,
     layer_norm_1pass,
+    layer_norm_fast,
     norm_init,
 )
 from protein_structure_tokenizer_tpu.parallel import cp
@@ -441,9 +442,15 @@ def structure_module(
     affine = QuatRigid.identity((batch, num_res))
 
     # The (B, N, N, C) pair LN uses one-pass statistics on the fast path
-    # (single HBM read; see layers.layer_norm_1pass).
-    pair_ln = layer_norm if exact else layer_norm_1pass
-    act_2d = pair_ln(params["pair_layer_norm"], representations["pair"])
+    # (single HBM read; see layers.layer_norm_1pass) — and the single-pass
+    # Pallas LN kernel on the bf16 single-device path (ops/ln_kernels.py).
+    if exact:
+        act_2d = layer_norm(params["pair_layer_norm"], representations["pair"])
+    else:
+        act_2d = layer_norm_fast(
+            params["pair_layer_norm"], representations["pair"],
+            use_pallas=bool(use_pallas) and mesh_lib.single_device(mesh),
+        )
     act_2d = cp.constrain(act_2d, mesh, cp.PAIR_SPEC)
 
     fold_params = subtree(params, "fold_iteration")

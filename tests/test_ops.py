@@ -243,3 +243,41 @@ def test_structure_module_fused_softmax_gate():
     np.testing.assert_array_equal(
         np.asarray(a["final_atom_positions"]), np.asarray(b["final_atom_positions"])
     )
+
+
+def test_fused_layer_norm_matches_jnp():
+    """ops/ln_kernels.fused_layer_norm (interpret mode): single-pass LN
+    equals the jnp one-pass LN within bf16 output rounding; untileable
+    shapes return None (caller falls back)."""
+    import jax
+    import jax.numpy as jnp
+
+    from protein_structure_tokenizer_tpu.models.layers import layer_norm_1pass
+    from protein_structure_tokenizer_tpu.ops.ln_kernels import fused_layer_norm
+
+    rng = np.random.RandomState(7)
+    scale = jnp.asarray(rng.rand(128).astype(np.float32))
+    offset = jnp.asarray(rng.randn(128).astype(np.float32))
+    p = {"scale": scale, "offset": offset}
+
+    x = jnp.asarray(rng.randn(4, 64, 128).astype(np.float32)).astype(jnp.bfloat16)
+    out = fused_layer_norm(x, scale, offset, interpret=True)
+    assert out.dtype == jnp.bfloat16 and out.shape == x.shape
+    ref = layer_norm_1pass(p, x)
+    # kernel keeps f32 moments (the jnp path rounds the mean to bf16 before
+    # the variance subtraction) — equal within bf16 output rounding
+    np.testing.assert_allclose(
+        np.asarray(out, np.float64), np.asarray(ref, np.float64), atol=0.05
+    )
+    # f32 input: tighter
+    xf = jnp.asarray(rng.randn(2, 512, 128).astype(np.float32))
+    outf = fused_layer_norm(xf, scale, offset, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(outf), np.asarray(layer_norm_1pass(p, xf)),
+        atol=2e-5, rtol=0,
+    )
+    # rows not tileable / channels not 128-aligned -> fallback signal
+    assert fused_layer_norm(x[:1, :3], scale, offset, interpret=True) is None
+    assert fused_layer_norm(
+        x[..., :64], scale[:64], offset[:64], interpret=True
+    ) is None
