@@ -216,8 +216,13 @@ def test_context_parallel_train_step_matches(corpus_dir):
     assert np.isfinite(l_cp)
     np.testing.assert_allclose(l_cp, l_dp, rtol=1e-5)
     np.testing.assert_allclose(l2_cp, l2_dp, rtol=1e-5)
+    # Params after an Adam step: the partitioned program reduces in a
+    # different order than the replicated one (~1e-7-level gradient noise),
+    # and Adam AMPLIFIES that on near-zero-gradient leaves — the update
+    # m/(sqrt(v)+eps) approaches +-lr with a noise-determined sign, so the
+    # honest bound is a small fraction of lr (3e-4), not float noise.
     jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5),
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4),
         p_dp,
         p_cp,
     )
