@@ -873,9 +873,13 @@ def bench_variants():
         if df > 1 and _remaining() > 150:
             rng = np.random.RandomState(0)
             t_len = cfg.data.seq_max_size // df
+            # 32 rows: this runner is f32 (conformance dtype) — the f32 pair
+            # tensor caps B at 32 within 16 GB; DECODE_SUB=64 applies to the
+            # bf16 headline path only (a 64-row f32 dispatch OOMs HBM and
+            # crashes the remote-compile helper with HTTP 500).
             seqs = [
                 rng.randint(0, cfg.fsq.num_codes, size=(lengths[q] // df,))
-                for q in rows[:DECODE_SUB]
+                for q in rows[: min(32, DECODE_SUB)]
             ]
             n_res = sum(len(s) * df for s in seqs)
             ids = runner.pad_token_rows(seqs, effective_len=t_len)
