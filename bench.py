@@ -1120,10 +1120,24 @@ def main():
                 qparams = jax.device_put(
                     quant.quantize_gpt_params_int8(gen["params"])
                 )
-                i8, i8_med, _ = gen["measure"](16, qparams, int8_kv=True)
+                i8, i8_med, i8_s = gen["measure"](16, qparams, int8_kv=True)
                 _emit(
                     "gpt_generate_int8_tokens_per_sec_per_chip",
                     "tokens/s/chip", i8, gen["ref"], median=i8_med,
+                )
+                # Analytic roofline for the int8 recipe: same matmul FLOPs
+                # (identical math), bytes from the int8 param tree + int8 KV
+                # cache at the int8 segment choice.
+                from protein_structure_tokenizer_tpu.lm import gpt as gpt_mod
+                from protein_structure_tokenizer_tpu.utils import roofline
+
+                i8_cfg = gpt_mod.released_gpt_config(4096)
+                i8_bytes = roofline.generate_block_bytes(
+                    qparams, i8_cfg, 16, i8_cfg.max_position_embeddings,
+                    segment=128, int8_kv=True,
+                ) * TIMED_ITERS
+                _emit_roofline(
+                    "gpt_generate_int8", gen["flops"], i8_bytes, i8_s
                 )
                 _note(f"generate int8 done: {i8:.0f} tok/s/chip")
                 if _remaining() > STAGE_MIN_S["generate"]:

@@ -117,16 +117,20 @@ def count_matmul_flops(fn, *args, **kwargs) -> float:
 
 
 def tree_float_bytes(tree) -> int:
-    """Bytes of all floating-point leaves (the per-step parameter read)."""
+    """Bytes of all floating-point AND int8 leaves (the per-step parameter
+    read — int8 covers lm.quant's weight-only layout, whose int8 weights
+    cross HBM every step just like float weights)."""
     return sum(
         leaf.size * leaf.dtype.itemsize
         for leaf in jax.tree_util.tree_leaves(tree)
-        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+        if hasattr(leaf, "dtype")
+        and (jnp.issubdtype(leaf.dtype, jnp.floating) or leaf.dtype == jnp.int8)
     )
 
 
 def generate_block_bytes(
-    params, cfg, batch: int, block: int, segment: int | None = None
+    params, cfg, batch: int, block: int, segment: int | None = None,
+    int8_kv: bool = False,
 ) -> float:
     """HBM bytes for one ``block``-step KV-cached sampling pass (lower bound).
 
@@ -141,20 +145,28 @@ def generate_block_bytes(
     re-reads the whole (B, block, C) activation stack per step).
     """
     param_bytes = tree_float_bytes(params)
-    cache_dtype = next(
-        leaf.dtype
-        for leaf in jax.tree_util.tree_leaves(params)
-        if jnp.issubdtype(leaf.dtype, jnp.floating)
-    )
+    embed = params.get("gpt_decoder/~/token_embed") if hasattr(params, "get") else None
+    if embed is not None:
+        cache_dtype = embed["embeddings"].dtype
+    else:
+        cache_dtype = next(
+            leaf.dtype
+            for leaf in jax.tree_util.tree_leaves(params)
+            if jnp.issubdtype(leaf.dtype, jnp.floating)
+        )
     if segment:
         kv_total = sum(
             min(-(-(t + 1) // segment) * segment, block) for t in range(block)
         )
     else:
         kv_total = block * block
+    if int8_kv:
+        # int8 elements + one f32 scale per (batch, position, head) vector
+        elem_bytes = 1.0 + 4.0 / cfg.key_size
+    else:
+        elem_bytes = jnp.dtype(cache_dtype).itemsize
     cache_bytes = (
-        2 * cfg.num_layers * batch * kv_total * cfg.embed_dim
-        * jnp.dtype(cache_dtype).itemsize
+        2 * cfg.num_layers * batch * kv_total * cfg.embed_dim * elem_bytes
     )
     return float(param_bytes * block + cache_bytes)
 
