@@ -2,11 +2,15 @@
 
 Prints one JSON line per workload.  The HEADLINE tokenize metric is emitted
 FIRST (insurance: if the driver's wall-clock budget expires mid-run, a valid
-line already exists) and re-emitted LAST (the driver records the final line):
+line already exists); after EVERY completed stage the insurance block
+re-emits ALL metrics completed so far with the tokenize headline LAST, so
+the driver-recorded tail always contains every number the round claims:
 
     {"metric": "casp14_tokenize_residues_per_sec_per_chip", ...}   <- insurance
     {"metric": "casp14_decode_residues_per_sec_per_chip", ...}
-    {"metric": "gpt_generate_tokens_per_sec_per_chip", ...}
+    ... stages ...
+    {"metric": "casp14_decode_residues_per_sec_per_chip", ...}     <- re-emitted
+    {"metric": "gpt_generate_tokens_per_sec_per_chip", ...}        <- re-emitted
     {"metric": "casp14_tokenize_residues_per_sec_per_chip", ...}   <- recorded
 
 Every optional stage checks a wall-clock budget (PST_BENCH_BUDGET_S, default
@@ -941,6 +945,10 @@ def bench_variants():
     _note("variants: fsq64k diagnostics done")
 
 
+HEADLINE_METRIC = "casp14_tokenize_residues_per_sec_per_chip"
+_EMITTED: "dict[str, str]" = {}  # metric -> latest JSON line, insertion-ordered
+
+
 def _emit(metric, unit, ours, ref, median=None):
     # vs_baseline is null when the reference was never measured — an
     # unmeasured ratio must be distinguishable from true parity.  ``median``
@@ -954,7 +962,21 @@ def _emit(metric, unit, ours, ref, median=None):
     }
     if median is not None:
         record["median"] = round(median, 2)
-    print(json.dumps(record), flush=True)
+    line = json.dumps(record)
+    _EMITTED[metric] = line
+    print(line, flush=True)
+
+
+def _reemit_all():
+    """Insurance block: re-print EVERY metric completed so far, so the
+    driver-recorded tail is self-sufficient no matter where the budget
+    expires.  The tokenize headline goes LAST (the driver parses the final
+    line as the round's headline)."""
+    for metric, line in _EMITTED.items():
+        if metric != HEADLINE_METRIC:
+            print(line, flush=True)
+    if HEADLINE_METRIC in _EMITTED:
+        print(_EMITTED[HEADLINE_METRIC], flush=True)
 
 
 BASELINE_KEYS = (
@@ -1064,12 +1086,10 @@ def main():
     _note(f"tokenize done: {ours:.0f} res/s/chip")
 
     def _emit_headline():
-        # The driver records the FINAL JSON line; re-emit the headline after
-        # every stage so a kill at ANY point leaves it as the last line.
-        _emit(
-            "casp14_tokenize_residues_per_sec_per_chip", "residues/s/chip",
-            ours, ref, median=tok["median"],
-        )
+        # The driver records the FINAL lines; after every stage re-emit ALL
+        # completed metrics (tokenize last) so a kill at ANY point leaves a
+        # self-sufficient tail containing every number this round claims.
+        _reemit_all()
 
     if _remaining() > STAGE_MIN_S["decode"]:
         try:

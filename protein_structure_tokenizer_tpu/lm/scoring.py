@@ -27,6 +27,13 @@ def frame_rows(
     block size).  Rows longer than the block are truncated with a tail EOS
     so every row still ends in exactly one scored EOS."""
     cap = cfg.max_position_embeddings
+    if length is not None and length > cap:
+        # gpt.forward gathers RoPE tables with clip semantics past the block
+        # — framing longer than the block would silently corrupt positions.
+        raise ValueError(
+            f"length={length} exceeds the model block "
+            f"(max_position_embeddings={cap})"
+        )
     length = length or min(cap, max((len(r) for r in rows), default=0) + 2)
     out = np.full((len(rows), length), cfg.pad_token_id, np.int32)
     out[:, 0] = cfg.bos_token_id

@@ -34,6 +34,11 @@ from protein_structure_tokenizer_tpu.parallel import cp
 from protein_structure_tokenizer_tpu.parallel import mesh as mesh_lib
 from protein_structure_tokenizer_tpu.utils.params import Params, subtree, with_prefix
 
+# Tests only: engage the bf16 fused-softmax kernel in Pallas interpret mode
+# on CPU so the masked-batch kernel-on/off equivalence is coverable without
+# a TPU (tests/test_structure_module.py).  Never set in production paths.
+_FORCE_KERNEL_INTERPRET = False
+
 
 @dataclasses.dataclass(frozen=True)
 class SidechainConfig:
@@ -163,7 +168,9 @@ def invariant_point_attention(
         a2 = af2_linear(p["attention_2d"], inputs_2d)  # (B, N, N, h)
         attention_2d = attention_2d_weights * jnp.transpose(a2, (0, 3, 1, 2))
 
-    bf16_attn = (not exact) and jax.default_backend() == "tpu"
+    bf16_attn = (not exact) and (
+        jax.default_backend() == "tpu" or _FORCE_KERNEL_INTERPRET
+    )
     # The kernel engages on the bf16 compute-policy path ONLY: the default
     # f32 fast path keeps the jnp chain so its documented ~1e-4 proximity to
     # exact mode is untouched (the kernel's dropped row bias is softmax-
@@ -187,7 +194,8 @@ def invariant_point_attention(
 
         col_bias = -(0.5 * hw) * kn - 1e5 * (1.0 - mask[..., 0][:, None, :])
         attn, attn_rd = softmax_kernels.fused_ipa_softmax(
-            attn_logits, col_bias, attention_2d, emit_f32=True
+            attn_logits, col_bias, attention_2d, emit_f32=True,
+            interpret=_FORCE_KERNEL_INTERPRET,
         )
     else:
         if not exact:

@@ -373,6 +373,23 @@ class InferenceServer:
             )
         )
 
+    def _check_token_ids(self, arr: np.ndarray, what: str) -> None:
+        """Reject out-of-range / special token ids in client payloads: the
+        embedding gather clamps silently (wrong conditioning / likelihoods
+        instead of an error), and a prompted EOS under the serving default
+        stop_at_eos=True ends every row after one step."""
+        cfg = self.gpt_config
+        n_structure = min(cfg.bos_token_id, cfg.eos_token_id, cfg.pad_token_id)
+        if arr.size and not np.issubdtype(arr.dtype, np.integer):
+            if not np.all(arr == arr.astype(np.int64)):
+                raise ValueError(f"{what}: token ids must be integers")
+        a = arr.astype(np.int64, copy=False)
+        if arr.size and (a.min() < 0 or a.max() >= n_structure):
+            raise ValueError(
+                f"{what}: token ids must be structure tokens in "
+                f"[0, {n_structure}) — BOS/EOS/PAD are framed server-side"
+            )
+
     def _score(self, payload: dict) -> dict:
         """LM log-likelihood / perplexity of token rows (lm.scoring):
         ``{"sequences": [[...], ...]}`` — raw structure-token rows, framed
@@ -384,6 +401,8 @@ class InferenceServer:
         rows = payload.get("sequences")
         if not rows:
             raise ValueError('payload must carry {"sequences": [[token ids], ...]}')
+        for i, r in enumerate(rows):
+            self._check_token_ids(np.asarray(r), f"sequences[{i}]")
         framed = scoring.frame_rows(
             [np.asarray(r, np.int32) for r in rows], self.gpt_config
         )
@@ -406,6 +425,7 @@ class InferenceServer:
         seed = int(opts.get("seed", time.time_ns() % (1 << 31)))
         prompt = opts.get("prompt")  # flat list of structure-token ids
         if prompt is not None:
+            self._check_token_ids(np.asarray(prompt), "prompt")
             prompt = np.tile(
                 np.asarray(prompt, np.int32).reshape(1, -1), (num, 1)
             )

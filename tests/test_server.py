@@ -161,6 +161,9 @@ def test_invalid_request_isolated(served):
 
 def test_stats_endpoint(served):
     *_, server = served
+    # Self-sufficient under xdist: earlier tests in this module may have run
+    # on a different worker, so issue at least one request ourselves.
+    _post(server.port, "/tokenize", sample_pdb_text(seed=99).encode())
     status, data = _get(server.port, "/stats")
     assert status == 200
     snap = json.loads(data)

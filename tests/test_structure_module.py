@@ -149,3 +149,74 @@ def test_fold_loop_bitwise():
             np.asarray(ref_outs[layer]),
             err_msg=f"affine mismatch at iteration {layer}",
         )
+
+
+def test_fused_softmax_kernel_padded_batch_matches_jnp():
+    """Advisor r4: the fused IPA-softmax kernel gives masked-query rows a
+    REAL softmax where the jnp path gives uniform rows — correctness relies
+    on downstream masking of padded residues.  Model-level guarantee: on a
+    PADDED batch with the kernel active (interpret mode on CPU; the gate is
+    forced via structure_module._FORCE_KERNEL_INTERPRET), final atom
+    positions on VALID residues match the kernel-off bf16 path."""
+    import jax
+
+    from protein_structure_tokenizer_tpu.models import structure_module as sm
+    from protein_structure_tokenizer_tpu.runtime.precision import cast_floats
+
+    cfg = StructureModuleConfig(
+        num_layer=2,
+        num_channel=64,
+        num_head=4,
+        num_point_qk=4,
+        num_point_v=8,
+        num_scalar_qk=16,
+        num_scalar_v=16,
+        pair_channel=32,
+        single_channel=64,
+    )
+    rng = np.random.RandomState(7)
+    b, n = 2, 16  # n % 8 == 0 so the kernel's shape gate engages
+    params = cast_floats(
+        sm.structure_module_init(jax.random.PRNGKey(3), cfg), jnp.bfloat16
+    )
+    single = jnp.asarray(
+        rng.randn(b, n, cfg.single_channel).astype(np.float32), jnp.bfloat16
+    )
+    pair = jnp.asarray(
+        rng.randn(b, n, n, cfg.pair_channel).astype(np.float32), jnp.bfloat16
+    )
+    lengths = np.asarray([12, 9])
+    mask_np = (np.arange(n)[None, :] < lengths[:, None]).astype(np.float32)
+    aatype = np.zeros((b, n, 21), np.float32)
+    aatype[..., 0] = 1.0  # all-ALA
+    atom37 = np.zeros((b, n, 37), np.float32)
+    atom37[..., :5] = mask_np[..., None]  # backbone atoms on valid residues
+    features = {
+        "aatype": jnp.asarray(aatype),
+        "atom37_gt_exists": jnp.asarray(atom37),
+    }
+    seq_mask = jnp.asarray(mask_np[..., None])
+
+    def run(use_pallas):
+        # Force bf16-attention semantics on CPU for BOTH sides so the only
+        # difference under test is the kernel itself.
+        sm._FORCE_KERNEL_INTERPRET = True
+        try:
+            out = sm.structure_module(
+                params, cfg, {"single": single, "pair": pair}, features,
+                seq_mask, exact=False, use_pallas=use_pallas,
+            )
+        finally:
+            sm._FORCE_KERNEL_INTERPRET = False
+        return np.asarray(out["final_atom_positions"], np.float32)
+
+    pos_kernel = run(True)
+    pos_jnp = run(False)
+    assert np.isfinite(pos_kernel).all()
+    for i, L in enumerate(lengths):
+        np.testing.assert_allclose(
+            pos_kernel[i, :L],
+            pos_jnp[i, :L],
+            atol=5e-2,
+            err_msg="valid-residue positions diverge with the kernel active",
+        )
