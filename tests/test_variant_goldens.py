@@ -2,12 +2,13 @@
 
 Round 1 pinned 432_df1 and 4096_df{1,2,4}; this closes the gap for **1728**
 (full size) and **64000 df 1/2/4** so every row of the BASELINE config list has
-a reference-pinned end-to-end parity test.  The 64k goldens run at a reduced
-``seq_max=64`` (overridden consistently on both sides): the reference
+a reference-pinned end-to-end parity test.  The 64k df 2/4 goldens run at a
+reduced ``seq_max=64`` (overridden consistently on both sides): the reference
 materializes a (B, N, K, D) distance tensor in its quantizer forward
-(/root/reference/structure_tokenizer/model/quantize.py:227-239), which at
-N=512, K=64000 would be gigabytes — at N=64 it is ~100 MB and entirely
-practical on CPU.
+(/root/reference/structure_tokenizer/model/quantize.py:227-239), which is
+~0.8 GB per batch row at N=512 — so 64000_df1 additionally carries a
+full-N (seq_max=512, B=1) golden pinning the flagship 64k encode at the
+real sequence length, while df 2/4 stay at the cheap N=64 shape.
 """
 import numpy as np
 import pytest
@@ -24,6 +25,10 @@ from protein_structure_tokenizer_tpu.models.config import preset
 # (codebook_size, df, seq_max override, batch, n_real)
 VARIANTS = [
     (1728, 1, None, 2, 77),
+    # Full-N 64k row (round-5): at B=1 the reference quantizer's
+    # (B, N, K, D) intermediate is ~0.8 GB — practical on this host, so the
+    # 64k encode is pinned against the reference AT N=512, not just N=64.
+    (64000, 1, None, 1, 300),
     (64000, 1, 64, 1, 56),
     (64000, 2, 64, 1, 56),
     (64000, 4, 64, 1, 56),
