@@ -95,8 +95,11 @@ def build_runner(args) -> InferenceRunner:
     )
     template = vq3d.init(jax.random.PRNGKey(0), cfg)
     if args.weights:
-        params = checkpoints.load_released_params(args.weights, template)
-        logger.info("loaded released weights from %s", args.weights)
+        # Auto-detect: released HF dir OR a native npz exported by
+        # cli/train.py (checkpoints.load_weights) — trained weights
+        # round-trip through the same flag as released ones.
+        params = checkpoints.load_weights(args.weights, template)
+        logger.info("loaded weights from %s", args.weights)
     else:
         params = template
         logger.warning("no --weights given: using RANDOM weights (smoke mode)")

@@ -16,7 +16,9 @@ Resume is automatic from --checkpoint_dir (orbax, latest step).
 from __future__ import annotations
 
 import argparse
+import json
 import logging
+import os
 import time
 
 import jax
@@ -289,6 +291,16 @@ def main(argv=None) -> None:
             from protein_structure_tokenizer_tpu.runtime import checkpoints
 
             checkpoints.save_params(host_params, args.export_params)
+            # The exact GptConfig alongside the weights so downstream tools
+            # (tools/trained_quality.py, tests) can rebuild the model without
+            # re-deriving CLI overrides.
+            import dataclasses as _dc
+
+            base = args.export_params
+            if base.endswith(".npz"):
+                base = base[:-4]
+            with open(base + ".config.json", "w") as f:
+                json.dump(_dc.asdict(cfg), f, indent=2, sort_keys=True)
         logger.info("exported params to %s", args.export_params)
     ckpt.close()
     logger.info("LM training complete at step %d", args.num_steps - 1)

@@ -122,6 +122,25 @@ def save_params(params: Params, path: str) -> None:
     os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
 
 
+def load_weights(
+    path: str, template: Params, *, scope_prefix: str = "forward_vq3_d/"
+) -> Params:
+    """Auto-detecting weights loader for CLI ``--weights``: accepts either
+    the released HF checkpoint DIRECTORY (``params.npz`` with positional
+    arrays, :func:`load_released_params`) or a native single-file npz
+    written by ``cli/train.py --export_params`` (``scope//name`` keys,
+    :func:`load_params`) — so weights trained by this framework round-trip
+    through the same flag as released ones."""
+    if os.path.isfile(path):
+        return load_params(path, template)
+    npz_path = os.path.join(path, "params.npz")
+    with open(npz_path, "rb") as f:
+        keys = np.load(f).files
+    if keys and all("//" in k for k in keys):
+        return load_params(npz_path, template)
+    return load_released_params(path, template, scope_prefix=scope_prefix)
+
+
 def load_params(path: str, template: Optional[Params] = None) -> Params:
     data = np.load(path)
     params: Params = {}

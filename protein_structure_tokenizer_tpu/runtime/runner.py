@@ -289,6 +289,7 @@ class InferenceRunner:
         context_parallel: int = 1,
         length_buckets="auto",
         compiler_options="auto",
+        pipeline_depth: int = 3,
     ):
         """``compute_dtype=jnp.bfloat16`` runs the forward matmuls in bf16
         (2x MXU, half HBM traffic) with f32 islands for FSQ rounding, IPA
@@ -316,9 +317,19 @@ class InferenceRunner:
         (+31% decode on v5e: stops memory-space assignment from copying the
         fold loop's carried buffers through VMEM); pass ``None`` to disable
         or a dict to override.  Numerics are unaffected (scheduling-only
-        option)."""
+        option).
+
+        ``pipeline_depth`` — dispatches kept in flight by tokenize/decode
+        before blocking on the oldest result (plus the host prefetch
+        thread).  Depth d overlaps the per-dispatch host+tunnel latency of
+        d-1 later batches with the device compute of the current one; 3 is
+        enough to hide a ~30 ms dispatch under ~100+ ms device programs
+        without ballooning device-resident output buffers."""
         if compute_dtype is not None and exact_aggregation:
             raise ValueError("exact_aggregation requires full f32 compute")
+        if pipeline_depth < 1:
+            raise ValueError("pipeline_depth must be >= 1")
+        self.pipeline_depth = int(pipeline_depth)
         self.config = config
         if length_buckets == "auto":
             self.length_buckets = (
@@ -398,9 +409,36 @@ class InferenceRunner:
             _tokenize_impl = mixed_precision_policy(_tokenize_impl, compute_dtype)
             _decode_impl = mixed_precision_policy(_decode_impl, compute_dtype)
 
+        def _decode_tokens_impl(params, tokens_ids):
+            """Fused decode-from-token-ids: mask building + FSQ codec +
+            decode in ONE device program.  The unfused path costs three
+            host->device transfers and two program dispatches per batch
+            (codes via a separate indexes_to_codes jit, then two f32 masks);
+            through a tunneled chip each RPC is ~10-40 ms of serial host
+            time, which is exactly the end-to-end-vs-per-op roofline gap
+            the decode bench measures.  Mask math mirrors
+            build_tokens_mask_from_sequence / build_nodes_mask_from_tokens_mask
+            bit-for-bit."""
+            df = cfg.data.downsampling_ratio
+            is_pad = tokens_ids == cfg.data.pad_token_id
+            tokens_mask = (jnp.cumsum(is_pad, axis=-1) == 0).astype(jnp.float32)
+            n_tokens = tokens_mask.sum(axis=-1)
+            n = tokens_ids.shape[-1] * df
+            idx = jnp.arange(n)
+            nodes_mask = (
+                idx[None, :] < (df * n_tokens)[:, None]
+            ).astype(jnp.float32)
+            quantized = vq3d.indexes_to_codes(cfg, tokens_ids)
+            return _decode_impl(
+                params, quantized, nodes_mask[..., None], tokens_mask[..., None]
+            )
+
         if data_only_spmd:
             _tokenize = mesh_lib.data_shard_map(_tokenize_impl, self.mesh, 1)
             _decode = mesh_lib.data_shard_map(_decode_impl, self.mesh, 3)
+            _decode_tokens = mesh_lib.data_shard_map(
+                _decode_tokens_impl, self.mesh, 1
+            )
         else:
             _tokenize = functools.partial(
                 jax.jit,
@@ -413,6 +451,12 @@ class InferenceRunner:
                 in_shardings=(replicated, batch_sharding, batch_sharding, batch_sharding),
                 out_shardings=batch_sharding,
             )(_decode_impl)
+
+            _decode_tokens = functools.partial(
+                jax.jit,
+                in_shardings=(replicated, batch_sharding),
+                out_shardings=batch_sharding,
+            )(_decode_tokens_impl)
 
         @jax.jit
         def _indexes_to_codes(tokens):
@@ -457,9 +501,11 @@ class InferenceRunner:
             )
         if compiler_options:
             _decode = _with_compiler_options(_decode, compiler_options)
+            _decode_tokens = _with_compiler_options(_decode_tokens, compiler_options)
 
         self.tokenize_fn = _tokenize
         self.decode_fn = _decode
+        self.decode_tokens_fn = _decode_tokens
         self.indexes_to_codes_fn = _indexes_to_codes
         self.autoencode_fn = _autoencode
 
@@ -638,7 +684,7 @@ class InferenceRunner:
                     with timers.annotated_stage("dispatch"):
                         out = self.tokenize_fn(self.params, batch)
                     in_flight.append((chunk, failed_rows, local_batch, out))
-                    if len(in_flight) > 1:
+                    if len(in_flight) >= self.pipeline_depth:
                         fetch_and_save(in_flight.popleft())
                 while in_flight:
                     fetch_and_save(in_flight.popleft())
@@ -683,21 +729,34 @@ class InferenceRunner:
             tokens_ids = np.concatenate(
                 [tokens_ids, np.repeat(tokens_ids[-1:], extra, axis=0)]
             )
-        tokens_mask = build_tokens_mask_from_sequence(tokens_ids, pad_id)
-        nodes_mask = build_nodes_mask_from_tokens_mask(
-            tokens_mask, cfg.downsampling_ratio
-        )
-        quantized = self.indexes_to_codes_fn(jnp.asarray(tokens_ids))
-        out = self.decode_fn(
-            self.params,
-            mesh_lib.shard_batch(self.mesh, jnp.asarray(quantized)),
-            mesh_lib.shard_batch(
-                self.mesh, jnp.asarray(nodes_mask[..., None], dtype=jnp.float32)
-            ),
-            mesh_lib.shard_batch(
-                self.mesh, jnp.asarray(tokens_mask[..., None], dtype=jnp.float32)
-            ),
-        )
+        # The default pad id is baked into the fused decode program; a
+        # caller-specific pad id keeps working through the unfused fallback.
+        if pad_id == cfg.pad_token_id:
+            out = self.decode_tokens_fn(
+                self.params,
+                mesh_lib.shard_batch(self.mesh, jnp.asarray(tokens_ids)),
+            )
+            # num_nodes comes from cheap host numpy — no device round-trip.
+            tokens_mask = build_tokens_mask_from_sequence(tokens_ids, pad_id)
+            nodes_mask = build_nodes_mask_from_tokens_mask(
+                tokens_mask, cfg.downsampling_ratio
+            )
+        else:
+            tokens_mask = build_tokens_mask_from_sequence(tokens_ids, pad_id)
+            nodes_mask = build_nodes_mask_from_tokens_mask(
+                tokens_mask, cfg.downsampling_ratio
+            )
+            quantized = self.indexes_to_codes_fn(jnp.asarray(tokens_ids))
+            out = self.decode_fn(
+                self.params,
+                mesh_lib.shard_batch(self.mesh, jnp.asarray(quantized)),
+                mesh_lib.shard_batch(
+                    self.mesh, jnp.asarray(nodes_mask[..., None], dtype=jnp.float32)
+                ),
+                mesh_lib.shard_batch(
+                    self.mesh, jnp.asarray(tokens_mask[..., None], dtype=jnp.float32)
+                ),
+            )
         if extra:
             out = jax.tree_util.tree_map(lambda x: x[:rows], out)
         return nodes_mask[:rows].sum(axis=-1), out
@@ -833,7 +892,7 @@ class InferenceRunner:
                 with timers.annotated_stage("dispatch"):
                     num_nodes, out = self.dispatch_decode(tokens_ids, pad_id)
                 in_flight.append((chunk, num_nodes, out))
-                if len(in_flight) > 1:
+                if len(in_flight) >= self.pipeline_depth:
                     fetch_and_write(in_flight.popleft())
             while in_flight:
                 fetch_and_write(in_flight.popleft())

@@ -115,3 +115,30 @@ def test_template_loader_rejects_wrong_leaf_count(released):
         del broken[scope]
     with pytest.raises(ValueError, match="arrays"):
         load_released_params(released, broken)
+
+
+def test_load_weights_autodetect(tmp_path):
+    """load_weights accepts BOTH --weights formats: a native npz file written
+    by cli/train.py --export_params and (detected by key shape) a native npz
+    living inside a directory as params.npz; released dirs keep routing to
+    load_released_params (covered above)."""
+    import os
+
+    from protein_structure_tokenizer_tpu.models.config import tiny_preset
+    from protein_structure_tokenizer_tpu.runtime import checkpoints
+
+    cfg = tiny_preset(seq_max=32, k=4, downsampling=1, dim=8)
+    params = jax.tree_util.tree_map(
+        np.asarray, vq3d.init(jax.random.PRNGKey(1), cfg)
+    )
+
+    # native single file (any name)
+    f = str(tmp_path / "trained.npz")
+    checkpoints.save_params(params, f)
+    _assert_tree_equal(checkpoints.load_weights(f, params), params)
+
+    # native file named params.npz inside a directory
+    d = tmp_path / "export_dir"
+    os.makedirs(d)
+    checkpoints.save_params(params, str(d / "params.npz"))
+    _assert_tree_equal(checkpoints.load_weights(str(d), params), params)

@@ -324,3 +324,48 @@ def test_shard_map_lower_rejects_non_divisible_batches():
         fn.lower(params, jnp.ones((3, 4)))
     # divisible batches still lower fine
     fn.lower(params, jnp.ones((8, 4)))
+
+
+def test_fused_decode_tokens_matches_unfused():
+    """dispatch_decode's fused decode-from-token-ids program (mask building +
+    FSQ codec + decode in one jit) is bit-identical to the unfused
+    3-transfer/2-dispatch path it replaced."""
+    cfg = preset(4096, 1)
+    params = vq3d.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(2)
+    seqs = [rng.randint(0, cfg.fsq.num_codes, size=(n,)) for n in (40, 64, 25, 50)]
+
+    runner = InferenceRunner(cfg, params, mesh_lib.make_mesh(jax.devices()[:1]))
+    ids = runner.pad_token_rows(seqs, effective_len=64)
+
+    num_nodes, fused = runner.dispatch_decode(ids)
+
+    import jax.numpy as jnp
+
+    from protein_structure_tokenizer_tpu.runtime import runner as runner_mod
+
+    tokens_mask = runner_mod.build_tokens_mask_from_sequence(
+        ids, cfg.data.pad_token_id
+    )
+    nodes_mask = runner_mod.build_nodes_mask_from_tokens_mask(
+        tokens_mask, cfg.data.downsampling_ratio
+    )
+    quantized = runner.indexes_to_codes_fn(jnp.asarray(ids))
+    unfused = runner.decode_fn(
+        runner.params,
+        jnp.asarray(quantized),
+        jnp.asarray(nodes_mask[..., None], dtype=jnp.float32),
+        jnp.asarray(tokens_mask[..., None], dtype=jnp.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fused["backbone_positions"]),
+        np.asarray(unfused["backbone_positions"]),
+    )
+    np.testing.assert_array_equal(num_nodes, nodes_mask.sum(axis=-1))
+
+    # A non-default pad id still round-trips through the unfused fallback.
+    alt_pad = cfg.data.pad_token_id - 1
+    ids_alt = runner.pad_token_rows(seqs, pad_token_id=alt_pad, effective_len=64)
+    n_alt, out_alt = runner.dispatch_decode(ids_alt, pad_token_id=alt_pad)
+    assert np.asarray(out_alt["backbone_positions"]).shape[0] == len(seqs)
+    np.testing.assert_array_equal(n_alt, num_nodes)
