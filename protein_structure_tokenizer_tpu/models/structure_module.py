@@ -193,8 +193,13 @@ def invariant_point_attention(
         from protein_structure_tokenizer_tpu.ops import softmax_kernels
 
         col_bias = -(0.5 * hw) * kn - 1e5 * (1.0 - mask[..., 0][:, None, :])
+        # emit_f32=False: every consumer on this path reads the bf16 copy
+        # (scalar + pair contractions always did; the point contraction
+        # below reads it too — bit-identical on TPU, where XLA DEFAULT
+        # precision truncates f32 matmul operands to bf16 anyway), so the
+        # 2x-larger f32 probability write would be dead weight.
         attn, attn_rd = softmax_kernels.fused_ipa_softmax(
-            attn_logits, col_bias, attention_2d, emit_f32=True,
+            attn_logits, col_bias, attention_2d, emit_f32=False,
             interpret=_FORCE_KERNEL_INTERPRET,
         )
     else:
@@ -248,11 +253,15 @@ def invariant_point_attention(
             result_point_flat.shape[:3] + (pv, 3)
         )
     else:
-        # The scalar contraction reads the already-materialized bf16
+        # Both value contractions read the already-materialized bf16
         # probability copy when one exists (attn.astype(bf16) == attn_rd
         # exactly, but spelling it as a cast makes XLA re-read the 2x-larger
-        # f32 tensor and convert in-fusion); the point aggregation keeps the
-        # f32 copy (geometry policy).
+        # f32 tensor and convert in-fusion).  This includes the POINT
+        # aggregation: the geometry policy is about f32 ACCUMULATION
+        # (preferred_element_type), not operand storage — under XLA DEFAULT
+        # precision the MXU truncates f32 operands to bf16 regardless, so
+        # reading the bf16 copy is bit-identical on TPU while halving the
+        # largest remaining per-iteration HBM read.
         scalar_attn = (
             attn_rd if (bf16_attn and in_dtype == jnp.bfloat16)
             else attn.astype(in_dtype)
@@ -261,7 +270,9 @@ def invariant_point_attention(
             "bhqk,bhkc->bhqc", scalar_attn, v, preferred_element_type=f32
         ).astype(in_dtype)
         result_point_global = jnp.einsum(
-            "bhqk,bhkpc->bhqpc", attn, vp, preferred_element_type=jnp.float32
+            "bhqk,bhkpc->bhqpc",
+            attn_rd if bf16_attn else attn,
+            vp, preferred_element_type=jnp.float32,
         )
     result_scalar = result_scalar.astype(in_dtype)
 
