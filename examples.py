@@ -256,6 +256,52 @@ def example_9_quantized_prompted_lm():
           f"(perplexity {np.asarray(scores['perplexity']).round(1).tolist()})")
 
 
+def example_10_trained_weights():
+    """Tokenize -> decode with the COMMITTED trained tokenizer
+    (artifacts/trained/, docs/TRAINED_QUALITY.md): real reconstruction,
+    not random-weight smoke.  Skips quietly if the artifacts are absent."""
+    weights = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "artifacts", "trained", "tokenizer_4096_df1.npz",
+    )
+    if not os.path.exists(weights):
+        print("[10] skipped: trained artifacts not present")
+        return
+    import dataclasses
+
+    import jax
+
+    from protein_structure_tokenizer_tpu.data.featurize import make_graph_from_pdb
+    from protein_structure_tokenizer_tpu.models import vq3d
+    from protein_structure_tokenizer_tpu.models.config import preset
+    from protein_structure_tokenizer_tpu.runtime import checkpoints
+    from protein_structure_tokenizer_tpu.runtime.runner import InferenceRunner, collate_graphs
+
+    cfg = preset(4096, 1, seq_max=96)  # the artifact's training shape
+    template = jax.tree_util.tree_map(
+        np.asarray, vq3d.init(jax.random.PRNGKey(0), cfg)
+    )
+    params = checkpoints.load_weights(weights, template)
+    # The artifact was trained at seq_max=96; pick a chain that fits.
+    small = os.path.join(CASP14, "T1073.pdb")  # 59 residues
+    graph = make_graph_from_pdb(
+        small if os.path.exists(small) else _sample_pdb(),
+        num_neighbor=cfg.data.graph_max_neighbor,
+        downsampling_ratio=cfg.data.downsampling_ratio,
+        padding_num_residue=cfg.data.seq_max_size,
+    )
+    batch = collate_graphs([dataclasses.asdict(graph)])
+    out = vq3d.encode_and_quantize(params, cfg, batch, compute_usage=False)
+    n = int(batch.tokens_mask.sum())
+    tokens = np.asarray(out["tokens"])[0, :n]
+    runner = InferenceRunner(cfg, params)
+    ids = runner.pad_token_rows([tokens])
+    _, dec = runner.dispatch_decode(ids)
+    pos = np.asarray(dec["backbone_positions"])
+    print(f"[10] trained weights: {n} tokens ({np.unique(tokens).size} distinct "
+          f"codes), decoded backbone {pos.shape} finite={np.isfinite(pos).all()}")
+
+
 EXAMPLES = [
     example_1_basic_usage,
     example_2_custom_config,
@@ -266,6 +312,7 @@ EXAMPLES = [
     example_7_lm_workflow,
     example_8_serving,
     example_9_quantized_prompted_lm,
+    example_10_trained_weights,
 ]
 
 
