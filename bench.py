@@ -76,11 +76,13 @@ BASELINE_CACHE = os.path.join(REPO_ROOT, "bench_baseline.json")
 # batches in a sub-512 bucket.
 SUB_BATCH = int(os.environ.get("PST_BENCH_SUB_BATCH", "64"))  # rows/dispatch
 BATCH = int(os.environ.get("PST_BENCH_BATCH", "256"))  # total rows
-# 64 rows/dispatch at the 512 bucket: bf16 admits B=64 in HBM (the f32 pair
-# tensor capped B at 32), and since the fused IPA-softmax kernel landed the
-# same-run A/B flipped in its favor — 113.9k res/s @B=64 vs 110.6k @B=32
-# (it had measured SLOWER pre-kernel: 71.8k vs 85.3k).  Larger dispatches
-# also amortize the ~25-50 ms tunnel latency better at every bucket.
+# Rows/dispatch at the 512 bucket: this A/B flips with traffic changes —
+# pre-kernel 85.3k @32 vs 71.8k @64; post-IPA-softmax-kernel 113.9k @64 vs
+# 110.6k @32; after round 5's bf16-only probability copy + bf16 raw-logits
+# store, a SYNTHETIC all-512 A/B favors 32 again (155.4k vs 150.4k padded
+# res/s) but the real mixed-length CASP14 corpus (adaptive rows per bucket)
+# measured better at 64: 171.0k best / 170.8k median vs 168.7k / 161.2k —
+# so the corpus-level evidence keeps 64.
 DECODE_SUB = int(os.environ.get("PST_BENCH_DECODE_SUB", "64"))
 DECODE_BATCHES = 4
 TIMED_ITERS = int(os.environ.get("PST_BENCH_ITERS", "3"))
@@ -349,7 +351,8 @@ def bench_decode(lengths):
     (the f32 pair tensor is the HBM bound — bf16 halves the traffic; +38%
     in the same-run A/B) with the fused IPA-softmax kernel at
     B=DECODE_SUB=64 rows per 512 dispatch (adaptive: more rows at shorter
-    buckets).  Coordinate drift vs f32 is pinned per bucket in
+    buckets; corpus-level A/B kept 64 after round 5's kernel changes — see
+    the DECODE_SUB comment).  Coordinate drift vs f32 is pinned per bucket in
     tests/test_precision.py; the conformance/CLI default stays full f32.
     """
     import jax
